@@ -1,0 +1,63 @@
+"""CLI entry point: the framework's equivalent of the reference binary.
+
+Usage (mirrors `mpirun -n P ./poisson` with poisson.in in cwd; reference:
+src/poisson.c:27-138):
+
+    python -m multigrid_petsc_tpu.poisson [options_file] [-key value ...]
+
+Reads a poisson.in-style options file (default ./poisson.in if present),
+then applies any command-line overrides using the same -key value syntax,
+runs the configured solve, prints the run banner / errors / timings, and
+writes the reference's artifact files.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+from multigrid_petsc_tpu.mesh import MeshType
+from multigrid_petsc_tpu.postprocess import error_norms, write_artifacts
+from multigrid_petsc_tpu.solvers.solve import solve
+from multigrid_petsc_tpu.utils.config import SolverConfig, parse_options_file
+from multigrid_petsc_tpu.utils.logging import print_info
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cfg = SolverConfig()
+
+    # Positional options file (or ./poisson.in, like PetscInitialize's
+    # default file argument at src/poisson.c:29).
+    if argv and not argv[0].startswith("-"):
+        cfg = parse_options_file(argv.pop(0), cfg)
+    elif Path("poisson.in").exists():
+        cfg = parse_options_file("poisson.in", cfg)
+
+    # Command-line -key value overrides (the PETSc options-DB behavior).
+    if argv:
+        with tempfile.NamedTemporaryFile("w", suffix=".in", delete=False) as f:
+            for i in range(0, len(argv) - 1, 2):
+                f.write(f"{argv[i]} {argv[i + 1]}\n")
+            tmp = f.name
+        cfg = parse_options_file(tmp, cfg)
+        Path(tmp).unlink()
+
+    try:
+        cfg = cfg.validate()
+    except ValueError as e:
+        print(f"configuration error: {e}", file=sys.stderr)
+        return 1
+
+    res = solve(cfg)
+    mesh_type = MeshType(cfg.mesh)
+    errs = error_norms(res.ctx.problem, mesh_type, res.u_fine)
+
+    print_info(cfg, res, errs)
+    write_artifacts(".", mesh_type, res.u_fine, res.rnorm, errs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,230 @@
+"""Solver setup: builds the per-level operator context from a config.
+
+This is the TPU-native analogue of the reference's setup + assembly phase
+(reference: src/poisson.c:85-118 SetUpMesh/SetUpIndices/SetUpOperator/
+SetUpSolver/Assemble): instead of assembling distributed CSR matrices it
+evaluates stencil-coefficient arrays per grid and wires matrix-free applies,
+smoothers and transfers for every level.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from multigrid_petsc_tpu.hierarchy import LevelSpec, build_hierarchy
+from multigrid_petsc_tpu.mesh import MeshType
+from multigrid_petsc_tpu.problems import (
+    Problem,
+    poisson_sin_problem,
+    rhs_grid,
+    stencil_coefficients,
+)
+from multigrid_petsc_tpu.ops.stencil import Stencil5
+from multigrid_petsc_tpu.ops.composite import composite_apply, composite_rhs
+from multigrid_petsc_tpu.ops.transfer import prolong_multi, restrict_multi
+from multigrid_petsc_tpu.solvers import smoothers as sm
+from multigrid_petsc_tpu.utils.config import SolverConfig, SmootherType
+
+State = tuple  # tuple of per-grid 2-D arrays
+
+
+@dataclass
+class LevelCtx:
+    """Static per-level context: spec + operator/smoother closures.
+
+    The closures close over this level's stencil-coefficient arrays.  For
+    the tensor-product problems these are (ny, 1) arrays — negligible jit
+    constants; fully-variable coefficient problems should pass coefficient
+    fields as explicit jit arguments (see ops/stencil.py notes).
+    """
+
+    spec: LevelSpec
+    stencils: tuple[Stencil5, ...]
+    dinv: State
+    smooth: Callable[[State, State, int], State] = None  # (b, u, sweeps)
+    lmax: float | None = None  # Chebyshev bound on spec(D^-1 A), if used
+    shardings: tuple | None = None  # per-grid NamedSharding (distributed mode)
+    coarse_solve: Callable | None = None  # real coarsest-level solver
+
+    def apply(self, u: State) -> State:
+        return composite_apply(self.stencils, self.spec.gids, u)
+
+    def apply_diag(self, u: State) -> State:
+        return composite_apply(
+            self.stencils, self.spec.gids, u, include_couplings=False
+        )
+
+    def apply_couplings(self, u: State) -> State:
+        return composite_apply(
+            self.stencils, self.spec.gids, u, include_diag=False
+        )
+
+    def residual(self, b: State, u: State) -> State:
+        au = self.apply(u)
+        return tuple(bk - ak for bk, ak in zip(b, au))
+
+    def zeros(self, dtype) -> State:
+        z = tuple(jnp.zeros(g.shape, dtype) for g in self.spec.grids)
+        return self.constrain(z)
+
+    def constrain(self, state: State) -> State:
+        """Pin the state to this level's shardings (no-op single device).
+        This is where the reference's level-dependent layout decisions
+        (coarse-level agglomeration) get enforced on-device."""
+        if self.shardings is None:
+            return state
+        return tuple(
+            jax.lax.with_sharding_constraint(x, s)
+            for x, s in zip(state, self.shardings)
+        )
+
+
+@dataclass
+class MGContext:
+    """Full solver context: all levels + inter-level transfers + RHS."""
+
+    config: SolverConfig
+    problem: Problem
+    levels: list[LevelCtx]
+    b0: State  # level-0 right-hand side
+    dtype: object = jnp.float64
+
+    # -- inter-level transfers (reference: src/solver.c:1035-1154 Res/Pro) --
+    def restrict_to_next(self, l: int, r_primary: jnp.ndarray) -> State:
+        """Restrict level l's primary-grid residual to ALL grids of level
+        l+1 (composed multi-gap restriction for merged coarse grids).
+        In distributed mode the result is pinned to the next level's
+        shardings — the level-layout change (possibly an agglomerating
+        all-gather) rides this transfer."""
+        g0 = self.levels[l].spec.primary.g
+        nxt = self.levels[l + 1].spec
+        out = tuple(restrict_multi(r_primary, g.g - g0) for g in nxt.grids)
+        return self.levels[l + 1].constrain(out)
+
+    def prolong_from_next(self, l: int, u_next: State) -> jnp.ndarray:
+        """Prolong ALL grids of level l+1 onto level l's primary grid and
+        sum (reference: Pro builds one matrix doing exactly this sum)."""
+        g0 = self.levels[l].spec.primary.g
+        nxt = self.levels[l + 1].spec
+        out = None
+        for g, ug in zip(nxt.grids, u_next):
+            e = prolong_multi(ug, g.g - g0)
+            out = e if out is None else out + e
+        if self.levels[l].shardings is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, self.levels[l].shardings[0]
+            )
+        return out
+
+
+def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
+    kind = cfg.smoother
+    if ctx.spec.is_composite and cfg.composite_smoother == "block_gs":
+        # Composite levels default to grid-ordered block Gauss-Seidel: the
+        # coupling blocks break diagonal dominance, so point smoothers on
+        # the full composite matrix diverge (the reference leans on PETSc's
+        # default ILU there; see smoothers.composite_block_gs).
+        def smooth(b, u, sweeps, _ctx=ctx):
+            return sm.composite_block_gs(
+                _ctx.stencils, _ctx.spec.gids, _ctx.dinv, b, u, sweeps,
+                inner=cfg.v[0], omega=cfg.omega,
+            )
+    elif kind == SmootherType.JACOBI:
+        def smooth(b, u, sweeps, _ctx=ctx):
+            return sm.jacobi(_ctx.apply, _ctx.dinv, b, u, sweeps, cfg.omega)
+    elif kind == SmootherType.CHEBYSHEV:
+        shapes = [g.shape for g in ctx.spec.grids]
+        lmax = float(
+            sm.estimate_dinv_a_lmax(
+                ctx.apply, ctx.dinv, shapes, dtype=ctx.dinv[0].dtype
+            )
+        )
+        ctx.lmax = lmax
+
+        def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
+            return sm.chebyshev(_ctx.apply, _ctx.dinv, b, u, sweeps, _lmax)
+    else:
+        raise ValueError(f"unknown smoother {kind}")
+    return smooth
+
+
+def build_context(
+    cfg: SolverConfig,
+    problem: Problem | None = None,
+    plan=None,  # parallel.ShardingPlan for distributed mode
+) -> MGContext:
+    problem = problem or poisson_sin_problem()
+    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+        # Without this, jnp silently truncates to f32 and a 1e-7 relative
+        # residual target can spin to max_iter at the f32 roundoff floor.
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.dtype(cfg.dtype)
+    specs = build_hierarchy(cfg.npts, cfg.grids, cfg.levels)
+    mesh_type = MeshType(cfg.mesh)
+
+    levels: list[LevelCtx] = []
+    for spec in specs:
+        stencils = tuple(
+            stencil_coefficients(mesh_type, g.ny, g.nx, dtype) for g in spec.grids
+        )
+        shardings = None
+        if plan is not None:
+            from multigrid_petsc_tpu.parallel.device_mesh import put_sharded
+
+            shardings = tuple(plan.sharding(g.ny, g.nx) for g in spec.grids)
+            # Coefficient columns follow the grid's y partition.
+            stencils = tuple(
+                Stencil5(*(put_sharded(c, plan.coeff_sharding(g.ny, g.nx))
+                           for c in st))
+                for st, g in zip(stencils, spec.grids)
+            )
+        dinv = tuple(1.0 / st.cc for st in stencils)
+        lc = LevelCtx(spec=spec, stencils=stencils, dinv=dinv,
+                      shardings=shardings)
+        levels.append(lc)
+
+    for lc in levels:
+        lc.smooth = _build_smoother(lc, cfg)
+
+    # Real coarsest-level solver (see solvers/coarse.py): only when the
+    # hierarchy actually has a coarse level (levels >= 2); the one-level
+    # merged cycles (I/E/D*) must keep their own iteration semantics.
+    if len(levels) >= 2 and cfg.coarse_solver != "smooth":
+        from multigrid_petsc_tpu.solvers import coarse as coarse_mod
+
+        last = levels[-1]
+        shapes = [g.shape for g in last.spec.grids]
+        n_unknowns = sum(ny * nx for ny, nx in shapes)
+        mode = cfg.coarse_solver
+        if mode == "auto":
+            mode = "direct" if n_unknowns <= cfg.max_direct_size else "cg"
+        if mode == "direct":
+            last.coarse_solve = coarse_mod.build_direct_solver(
+                last.apply, shapes, dtype
+            )
+        elif mode == "cg":
+            last.coarse_solve = coarse_mod.build_cg_solver(
+                last.apply, shapes, cfg.coarse_cg_iters
+            )
+        else:
+            raise ValueError(f"unknown coarse_solver {cfg.coarse_solver}")
+
+    # Level-0 RHS: f on grid 0, restricted f on merged coarser grids
+    # (reference: src/solver.c:558-620 levelvecb fills only level 0).
+    spec0 = specs[0]
+    f0 = rhs_grid(problem, mesh_type, spec0.primary.ny, spec0.primary.nx, dtype)
+    b0 = composite_rhs(f0, spec0.gids)
+    if plan is not None:
+        from multigrid_petsc_tpu.parallel.device_mesh import put_sharded
+
+        b0 = tuple(
+            put_sharded(bb, s) for bb, s in zip(b0, levels[0].shardings)
+        )
+
+    return MGContext(
+        config=cfg, problem=problem, levels=levels, b0=b0, dtype=dtype
+    )

@@ -1,0 +1,161 @@
+"""Outer Krylov loops with the V-cycle as preconditioner.
+
+The framework's generalization of the reference's PCMG cross-check path
+(reference: src/solver.c:1884-1989 wires the same operators into PETSc's
+PCMG under an outer Richardson KSP).  Here the outer loops are our own:
+
+  * PCG — preconditioned conjugate gradients (SPD path; the BASELINE.md
+    "mg-CG" headline solver),
+  * FGMRES — flexible restarted GMRES (robust for the nonsymmetric
+    stretched-mesh operators).
+
+Both run as single jitted lax.while_loops over level-0 states, with the
+same stopping rule and residual history as the cycle drivers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from multigrid_petsc_tpu.ops.norms import tree_dot, tree_norm2
+from multigrid_petsc_tpu.solvers.context import MGContext, State
+from multigrid_petsc_tpu.solvers.outer import OuterResult
+from multigrid_petsc_tpu.solvers.vcycle import mg_apply
+
+
+def solve_mgcg(ctx: MGContext) -> OuterResult:
+    """Preconditioned CG with one V-cycle as M.
+
+    Standard PCG formulas hold verbatim for the negative-definite discrete
+    Laplacian (both inner products flip sign, ratios stay positive).
+    """
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    b = ctx.b0
+    max_iter, hist_len = cfg.max_iter, cfg.hist_len
+
+    precond: Callable[[State], State] = lambda r: mg_apply(ctx, r, v0, v1)
+
+    bnorm = tree_norm2(b)
+    u = lvl0.zeros(ctx.dtype)
+    r = lvl0.residual(b, u)
+    rn0 = tree_norm2(r)
+    z = precond(r)
+    p = z
+    rz = tree_dot(r, z)
+    hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
+
+    def cond(c):
+        u, r, p, rz, i, rn, hist = c
+        return (i < max_iter) & (cfg.divtol * bnorm > rn) & (rn > cfg.rtol * bnorm)
+
+    def body(c):
+        u, r, p, rz, i, rn, hist = c
+        ap = lvl0.apply(p)
+        alpha = rz / tree_dot(p, ap)
+        u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
+        r = tuple(rk - alpha * ak for rk, ak in zip(r, ap))
+        rn = tree_norm2(r)
+        z = precond(r)
+        rz_new = tree_dot(r, z)
+        beta = rz_new / rz
+        p = tuple(zk + beta * pk for zk, pk in zip(z, p))
+        hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
+        return (u, r, p, rz_new, i + 1, rn, hist)
+
+    u, r, p, rz, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, p, rz, 0, rn0, hist)
+    )
+    return OuterResult(
+        u=u,
+        rnorm_history=hist / hist[0],
+        iters=iters,
+        converged=rn <= cfg.rtol * bnorm,
+    )
+
+
+def _flatten(state: State):
+    return jnp.concatenate([x.ravel() for x in state])
+
+
+def _unflatten(vec, shapes):
+    out, off = [], 0
+    for s in shapes:
+        n = s[0] * s[1]
+        out.append(vec[off : off + n].reshape(s))
+        off += n
+    return tuple(out)
+
+
+def solve_mgfgmres(ctx: MGContext, restart: int = 10) -> OuterResult:
+    """Flexible GMRES(restart) with one V-cycle as the (right)
+    preconditioner.  History records ||r|| once per restart block."""
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    shapes = [g.shape for g in lvl0.spec.grids]
+    m = restart
+    b = ctx.b0
+    hist_len = cfg.hist_len
+    max_restarts = cfg.max_iter
+
+    def precond_flat(rflat):
+        z = mg_apply(ctx, _unflatten(rflat, shapes), v0, v1)
+        return _flatten(z)
+
+    def apply_flat(xflat):
+        return _flatten(lvl0.apply(_unflatten(xflat, shapes)))
+
+    bflat = _flatten(b)
+    n = bflat.shape[0]
+    dtype = bflat.dtype
+    bnorm = jnp.linalg.norm(bflat)
+    u = jnp.zeros(n, dtype)
+    r = bflat - apply_flat(u)
+    rn0 = jnp.linalg.norm(r)
+    hist = jnp.zeros(hist_len + 1, dtype=dtype).at[0].set(rn0)
+
+    def restart_block(u):
+        r = bflat - apply_flat(u)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / beta)
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        for j in range(m):  # static unroll (m is small)
+            zj = precond_flat(V[j])
+            w = apply_flat(zj)
+            # Modified Gram-Schmidt.
+            for i in range(j + 1):
+                hij = jnp.vdot(V[i], w)
+                H = H.at[i, j].set(hij)
+                w = w - hij * V[i]
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
+            Z = Z.at[j].set(zj)
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        return u + Z.T @ y
+
+    def cond(c):
+        u, i, rn, hist = c
+        return (i < max_restarts) & (cfg.divtol * bnorm > rn) & (rn > cfg.rtol * bnorm)
+
+    def body(c):
+        u, i, rn, hist = c
+        u = restart_block(u)
+        rn = jnp.linalg.norm(bflat - apply_flat(u))
+        hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
+        return (u, i + 1, rn, hist)
+
+    u, iters, rn, hist = jax.lax.while_loop(cond, body, (u, 0, rn0, hist))
+    return OuterResult(
+        u=_unflatten(u, shapes),
+        rnorm_history=hist / hist[0],
+        iters=iters,
+        converged=rn <= cfg.rtol * bnorm,
+    )

@@ -1,0 +1,109 @@
+"""Solve dispatch: config -> cycle driver -> result.
+
+Capability parity with the reference dispatch (reference:
+src/solver.c:2617-2630 Solve maps the Cycle enum to its 9 drivers), plus
+the framework's Krylov/FMG extensions.  Also carries the reference's
+post-solve bookkeeping: wall/CPU timing around the solve only
+(src/solver.c:1526-1553) and the residual history normalized by its first
+entry.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+from multigrid_petsc_tpu.solvers.context import MGContext, build_context
+from multigrid_petsc_tpu.solvers.outer import OuterResult
+from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+
+@dataclass
+class SolveResult:
+    u: tuple  # final level-0 state (tuple of per-grid arrays)
+    rnorm: np.ndarray  # normalized residual history, entries 0..iters
+    iters: int
+    converged: bool
+    wall_time: float  # solve-loop wall seconds (compile excluded)
+    cpu_time: float
+    ctx: MGContext
+
+    @property
+    def u_fine(self) -> np.ndarray:
+        """Solution on the finest grid (interior points)."""
+        return np.asarray(self.u[0])
+
+
+_DRIVERS = {}
+
+
+def _driver(ctx: MGContext):
+    # Imported here to avoid import cycles.
+    from multigrid_petsc_tpu.solvers import cycles as cy
+    from multigrid_petsc_tpu.solvers import delayed as dl
+    from multigrid_petsc_tpu.solvers import krylov as kr
+    from multigrid_petsc_tpu.solvers import vcycle as vc
+
+    c = ctx.config.cycle
+    if c == CycleType.VCYCLE:
+        return lambda: vc.solve_vcycle(ctx)
+    if c == CycleType.PCMG:
+        return lambda: vc.solve_mg_richardson(ctx)
+    if c == CycleType.FMG:
+        return lambda: vc.solve_fmg(ctx)
+    if c == CycleType.MGCG:
+        return lambda: kr.solve_mgcg(ctx)
+    if c == CycleType.MGFGMRES:
+        return lambda: kr.solve_mgfgmres(ctx)
+    if c == CycleType.ICYCLE:
+        return lambda: cy.solve_icycle(ctx)
+    if c == CycleType.ECYCLE:
+        return lambda: cy.solve_ecycle(ctx)
+    if c == CycleType.ADDITIVE:
+        return lambda: cy.solve_additive(ctx)
+    if c == CycleType.ADDITIVE2:
+        return lambda: cy.solve_additive2(ctx)
+    if c in (CycleType.D1CYCLE, CycleType.D2CYCLE, CycleType.D1PSCYCLE):
+        return lambda: dl.solve_delayed(ctx, c)
+    raise ValueError(f"unknown cycle {c}")
+
+
+def solve(
+    cfg: SolverConfig,
+    problem=None,
+    ctx: MGContext | None = None,
+    plan=None,
+) -> SolveResult:
+    """Set up (unless given a prebuilt context) and run the configured
+    solver.  Timing brackets only the jitted solve, compile excluded —
+    mirroring the reference's solver-stage timers (src/solver.c:1526-1553).
+    ``plan`` (a parallel.ShardingPlan) enables the distributed path.
+    """
+    cfg = cfg.validate()
+    if ctx is None:
+        ctx = build_context(cfg, problem, plan=plan)
+
+    run = jax.jit(_driver(ctx))
+    res: OuterResult = run()  # compile + first run
+    jax.block_until_ready(res)
+
+    # Timed run (state-free drivers: rerunning reproduces the same solve).
+    t0w, t0c = time.perf_counter(), time.process_time()
+    res = run()
+    jax.block_until_ready(res)
+    t1w, t1c = time.perf_counter(), time.process_time()
+
+    iters = int(res.iters)
+    hist = np.asarray(res.rnorm_history)[: iters + 1]
+    return SolveResult(
+        u=tuple(np.asarray(x) for x in res.u),
+        rnorm=hist,
+        iters=iters,
+        converged=bool(res.converged),
+        wall_time=t1w - t0w,
+        cpu_time=t1c - t0c,
+        ctx=ctx,
+    )

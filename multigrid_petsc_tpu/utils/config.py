@@ -1,0 +1,131 @@
+"""Configuration: solver flags + poisson.in-style config file parsing.
+
+Capability parity with the reference's options layer (reference:
+src/poisson.c:51-59 reads -npts -mesh -iter -grids -levels -cycle -map -v
+-moreNorm from the PETSc options DB seeded by poisson.in;
+unsupported-combination guards at src/poisson.c:61-71).
+
+Cycle numbering keeps the reference's values (poisson.in:8) and adds
+TPU-framework extensions (outer Krylov, FMG) above 100.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field, replace
+from pathlib import Path
+
+
+class CycleType(enum.Enum):
+    # Reference cycle ids (reference: poisson.in:8, src/poisson.c:106-114).
+    VCYCLE = 0
+    ICYCLE = 1
+    ECYCLE = 2
+    D1CYCLE = 3
+    D2CYCLE = 4
+    D1PSCYCLE = 7
+    PCMG = 8  # reference: PETSc PCMG cross-check; here: MG-preconditioned Richardson
+    ADDITIVE = 9
+    ADDITIVE2 = 10
+    # Framework extensions.
+    MGCG = 101      # CG outer, V-cycle preconditioner (BASELINE mg-CG target)
+    MGFGMRES = 102  # flexible GMRES outer, V-cycle preconditioner
+    FMG = 103       # full-multigrid start + V-cycles
+
+
+class SmootherType(enum.Enum):
+    JACOBI = "jacobi"
+    CHEBYSHEV = "chebyshev"
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """All solver knobs (defaults match the reference's poisson.in)."""
+
+    npts: int = 17            # points per dimension incl. boundary (-npts)
+    mesh: int = 0             # 0 uniform, 1 cosine-y, 2 exp-y (-mesh)
+    max_iter: int = 100_000   # outer iteration cap (-iter)
+    grids: int = 2            # total coarsened grids (-grids)
+    levels: int = 2           # solver levels (-levels)
+    cycle: CycleType = CycleType.VCYCLE  # (-cycle)
+    map_style: int = 2        # accepted for parity; layout is a sharding here (-map)
+    v: tuple[int, int] = (3, 3)  # (fine/mid sweeps, coarsest sweeps) (-v)
+    more_norm: bool = False   # per-grid inner residual monitors (-moreNorm)
+
+    # TPU-framework knobs (no reference equivalent).
+    smoother: SmootherType = SmootherType.JACOBI
+    composite_smoother: str = "block_gs"  # smoother on merged-grid levels
+    coarse_solver: str = "auto"  # auto | direct | cg | smooth
+    max_direct_size: int = 4096  # densify coarsest op up to this many unknowns
+    coarse_cg_iters: int = 64
+    omega: float = 0.8        # damped-Jacobi weight
+    rtol: float = 1.0e-7      # relative-residual stop (src/solver.c:1530)
+    divtol: float = 1.0e8     # divergence guard (src/solver.c:1530)
+    dtype: str = "float64"    # "float32" | "float64" | "bfloat16"
+    history_len: int | None = None  # residual-history capacity (default: max_iter)
+
+    def validate(self) -> "SolverConfig":
+        # Reference guards (src/poisson.c:61-71).
+        if self.levels > 1 and self.cycle in (
+            CycleType.D1CYCLE, CycleType.D2CYCLE, CycleType.D1PSCYCLE
+        ):
+            raise ValueError("delayed cycles (D1/D2/D1PS) require levels == 1")
+        if (
+            self.cycle == CycleType.ADDITIVE2
+            and (self.grids > 2 or self.levels > 2)
+        ):
+            raise ValueError("Additive2 requires grids <= 2 and levels <= 2")
+        if self.levels > self.grids:
+            raise ValueError("levels cannot exceed grids")
+        if self.history_len is not None and self.history_len < 1:
+            raise ValueError("history_len must be >= 1")
+        return self
+
+    @property
+    def hist_len(self) -> int:
+        """Residual-history capacity (entries 0..hist_len)."""
+        return self.history_len if self.history_len is not None else self.max_iter
+
+
+_KEY_MAP = {
+    "npts": ("npts", int),
+    "mesh": ("mesh", int),
+    "iter": ("max_iter", int),
+    "grids": ("grids", int),
+    "levels": ("levels", int),
+    "map": ("map_style", int),
+    "moreNorm": ("more_norm", lambda s: bool(int(s))),
+}
+
+
+def parse_options_file(path: str | Path, base: SolverConfig | None = None) -> SolverConfig:
+    """Parse a poisson.in-style options file: lines of ``-key value``,
+    ``#`` comments (reference: poisson.in:1-14)."""
+    cfg = base or SolverConfig()
+    updates = {}
+    for raw in Path(path).read_text().splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) < 2 or not parts[0].startswith("-"):
+            continue
+        key, val = parts[0][1:], parts[1]
+        if key == "cycle":
+            updates["cycle"] = CycleType(int(val))
+        elif key == "v":
+            nums = [int(x) for x in val.split(",")]
+            updates["v"] = (nums[0], nums[1] if len(nums) > 1 else nums[0])
+        elif key == "smoother":
+            updates["smoother"] = SmootherType(val)
+        elif key == "omega":
+            updates["omega"] = float(val)
+        elif key == "rtol":
+            updates["rtol"] = float(val)
+        elif key == "dtype":
+            updates["dtype"] = val
+        elif key in _KEY_MAP:
+            name, conv = _KEY_MAP[key]
+            updates[name] = conv(val)
+        # Unknown keys are ignored, like unconsumed PETSc options.
+    return replace(cfg, **updates).validate()

@@ -1,0 +1,113 @@
+"""Convergence tests: V-cycle, FMG, Krylov — SURVEY.md section 4 tiers 1-3.
+
+* manufactured-solution h^2 error under refinement (the reference's
+  implicit correctness oracle, src/solver.c:1211-1237),
+* grid-independent MG contraction rate,
+* differential test: plain V-cycle vs MG-preconditioned Richardson
+  (the reference's PCMG cross-check role, src/solver.c:1884-1989).
+"""
+
+import numpy as np
+import pytest
+
+from multigrid_petsc_tpu.mesh import MeshType
+from multigrid_petsc_tpu.postprocess import error_norms
+from multigrid_petsc_tpu.solvers.solve import solve
+from multigrid_petsc_tpu.utils.config import CycleType, SmootherType, SolverConfig
+
+
+def _cfg(**kw):
+    base = dict(npts=17, grids=2, levels=2, max_iter=100, cycle=CycleType.VCYCLE)
+    base.update(kw)
+    return SolverConfig(**base)
+
+
+def test_vcycle_poisson_in_baseline():
+    """The reference's shipped config: 17^2, 2 grids/2 levels, V(3,3)."""
+    res = solve(_cfg())
+    assert res.converged
+    assert res.rnorm[-1] <= 1e-7
+    # Textbook MG: converge in a handful of cycles.
+    assert res.iters < 25
+    errs = error_norms(res.ctx.problem, MeshType.UNIFORM, res.u_fine)
+    # Discretization error ~ C h^2 with h=1/16 for the sin*sin problem.
+    assert errs[0] < 5e-3
+
+
+@pytest.mark.parametrize("npts", [33, 65])
+def test_h2_error_convergence(npts):
+    levels = 4
+    res = solve(_cfg(npts=npts, grids=levels, levels=levels))
+    assert res.converged
+    errs = error_norms(res.ctx.problem, MeshType.UNIFORM, res.u_fine)
+    h = 1.0 / (npts - 1)
+    # max error of the 2nd-order scheme for sin*sin: ~ (pi^2/12) h^2 pi^2...
+    # just assert the h^2 trend with a generous constant.
+    assert errs[0] < 4.0 * h * h
+
+
+def test_grid_independent_rate():
+    iters = []
+    for npts in (33, 65, 129):
+        levels = 4
+        res = solve(_cfg(npts=npts, grids=levels, levels=levels))
+        assert res.converged
+        iters.append(res.iters)
+    # Iteration count must not blow up with refinement.
+    assert max(iters) <= min(iters) + 3
+
+
+@pytest.mark.parametrize("mesh", [1, 2])
+def test_stretched_mesh_converges(mesh):
+    res = solve(_cfg(npts=33, grids=3, levels=3, mesh=mesh, max_iter=300))
+    assert res.converged
+    errs = error_norms(res.ctx.problem, MeshType(mesh), res.u_fine)
+    assert errs[0] < 2e-2
+
+
+def test_chebyshev_smoother():
+    res = solve(_cfg(npts=65, grids=4, levels=4,
+                     smoother=SmootherType.CHEBYSHEV, v=(4, 4)))
+    assert res.converged
+    assert res.iters < 20
+
+
+def test_vcycle_vs_mg_richardson_differential():
+    """Linear smoothers make V-cycle iteration == MG-preconditioned
+    Richardson; the two independent drivers must match closely."""
+    r1 = solve(_cfg(npts=33, grids=3, levels=3))
+    r2 = solve(_cfg(npts=33, grids=3, levels=3, cycle=CycleType.PCMG))
+    assert r1.iters == r2.iters
+    # Algebraically identical; floating-point op order differs slightly.
+    np.testing.assert_allclose(r1.rnorm, r2.rnorm, rtol=1e-5)
+    np.testing.assert_allclose(r1.u_fine, r2.u_fine, rtol=1e-6, atol=1e-10)
+
+
+def test_mgcg():
+    res = solve(_cfg(npts=129, grids=4, levels=4, cycle=CycleType.MGCG))
+    assert res.converged
+    assert res.iters <= 10  # mg-CG should crush Poisson in a few iterations
+    errs = error_norms(res.ctx.problem, MeshType.UNIFORM, res.u_fine)
+    assert errs[0] < 4.0 / 128 / 128
+
+
+def test_mgfgmres():
+    res = solve(_cfg(npts=65, grids=3, levels=3, cycle=CycleType.MGFGMRES))
+    assert res.converged
+    errs = error_norms(res.ctx.problem, MeshType.UNIFORM, res.u_fine)
+    assert errs[0] < 4.0 / 64 / 64
+
+
+def test_fmg():
+    res = solve(_cfg(npts=65, grids=4, levels=4, cycle=CycleType.FMG))
+    assert res.converged
+    # FMG start should cut iterations vs cold-start V-cycles.
+    cold = solve(_cfg(npts=65, grids=4, levels=4))
+    assert res.iters <= cold.iters
+
+
+def test_rnorm_history_semantics():
+    res = solve(_cfg())
+    assert res.rnorm[0] == 1.0  # normalized by first entry
+    assert len(res.rnorm) == res.iters + 1
+    assert np.all(res.rnorm[:-1] > res.rnorm[-1])  # monotone-ish decline

@@ -1,0 +1,6 @@
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+    apply_stencil5_pallas,
+    jacobi_sweeps_pallas,
+)
+
+__all__ = ["apply_stencil5_pallas", "jacobi_sweeps_pallas"]

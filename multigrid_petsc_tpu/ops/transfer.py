@@ -40,13 +40,14 @@ PROLONG_3x3 = np.array(
 
 
 def restrict_fw(r: jnp.ndarray) -> jnp.ndarray:
-    """Full-weighting restriction, fine (2n+1, 2m+1) -> coarse (n, m)."""
-    c = r[1::2, 1::2]
-    edges = r[0:-2:2, 1::2] + r[2::2, 1::2] + r[1::2, 0:-2:2] + r[1::2, 2::2]
-    corners = (
-        r[0:-2:2, 0:-2:2] + r[0:-2:2, 2::2] + r[2::2, 0:-2:2] + r[2::2, 2::2]
-    )
-    return 0.25 * c + 0.125 * edges + 0.0625 * corners
+    """Full-weighting restriction, fine (2n+1, 2m+1) -> coarse (n, m).
+
+    Separable [1,2,1]/4 x [1,2,1]/4 form with SINGLE-axis strided slices
+    only: XLA's TPU lowering of 2-D strided slices (r[a::2, b::2]) is ~70x
+    slower than two 1-D passes (measured on v5e; see git history)."""
+    rows = r[0:-2:2, :] + 2.0 * r[1::2, :] + r[2::2, :]  # (n, 2m+1)
+    out = rows[:, 0:-2:2] + 2.0 * rows[:, 1::2] + rows[:, 2::2]
+    return 0.0625 * out
 
 
 def prolong_bilinear(e: jnp.ndarray) -> jnp.ndarray:

@@ -49,8 +49,15 @@ class LevelCtx:
     lmax: float | None = None  # Chebyshev bound on spec(D^-1 A), if used
     shardings: tuple | None = None  # per-grid NamedSharding (distributed mode)
     coarse_solve: Callable | None = None  # real coarsest-level solver
+    use_pallas_apply: bool = False  # fused Pallas SpMV on this level
 
     def apply(self, u: State) -> State:
+        if self.use_pallas_apply:
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                apply_stencil5_pallas,
+            )
+
+            return (apply_stencil5_pallas(self.stencils[0], u[0]),)
         return composite_apply(self.stencils, self.spec.gids, u)
 
     def apply_diag(self, u: State) -> State:
@@ -121,6 +128,26 @@ class MGContext:
         return out
 
 
+def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
+    """Pallas kernels: TPU, simple (non-composite) level, single device,
+    grid big enough to matter."""
+    if cfg.backend == "xla":
+        return False
+    if ctx.shardings is not None:
+        return False  # GSPMD path handles distribution; Pallas+shard_map later
+    if ctx.spec.is_composite:
+        return False
+    g = ctx.spec.primary
+    if g.ny < 256 or g.nx < 256:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
     kind = cfg.smoother
     if ctx.spec.is_composite and cfg.composite_smoother == "block_gs":
@@ -134,8 +161,22 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
                 inner=cfg.v[0], omega=cfg.omega,
             )
     elif kind == SmootherType.JACOBI:
-        def smooth(b, u, sweeps, _ctx=ctx):
-            return sm.jacobi(_ctx.apply, _ctx.dinv, b, u, sweeps, cfg.omega)
+        if _use_pallas(ctx, cfg):
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                jacobi_sweeps_pallas,
+            )
+
+            def smooth(b, u, sweeps, _ctx=ctx):
+                return (
+                    jacobi_sweeps_pallas(
+                        _ctx.stencils[0], b[0], u[0], sweeps, cfg.omega
+                    ),
+                )
+        else:
+            def smooth(b, u, sweeps, _ctx=ctx):
+                return sm.jacobi(
+                    _ctx.apply, _ctx.dinv, b, u, sweeps, cfg.omega
+                )
     elif kind == SmootherType.CHEBYSHEV:
         shapes = [g.shape for g in ctx.spec.grids]
         lmax = float(
@@ -188,6 +229,7 @@ def build_context(
         levels.append(lc)
 
     for lc in levels:
+        lc.use_pallas_apply = _use_pallas(lc, cfg)
         lc.smooth = _build_smoother(lc, cfg)
 
     # Real coarsest-level solver (see solvers/coarse.py): only when the

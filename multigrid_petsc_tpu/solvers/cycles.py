@@ -30,7 +30,7 @@ from multigrid_petsc_tpu.solvers.context import MGContext, State
 from multigrid_petsc_tpu.solvers.outer import OuterResult, outer_iterate
 
 
-def solve_icycle(ctx: MGContext) -> OuterResult:
+def solve_icycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """One smoother sweep per outer iteration on the full composite
     operator (couplings included in the matvec)."""
     cfg = ctx.config
@@ -40,12 +40,12 @@ def solve_icycle(ctx: MGContext) -> OuterResult:
         return lvl.smooth(b, u, 1)
 
     return outer_iterate(
-        step, lvl.residual, ctx.b0, lvl.zeros(ctx.dtype),
+        step, lvl.residual, ctx.b0 if b0 is None else b0, lvl.zeros(ctx.dtype),
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
     )
 
 
-def solve_ecycle(ctx: MGContext) -> OuterResult:
+def solve_ecycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """Block-Jacobi across grids: v sweeps on the diagonal blocks with the
     couplings moved to the right-hand side each outer iteration.
 
@@ -71,7 +71,7 @@ def solve_ecycle(ctx: MGContext) -> OuterResult:
         return tuple(bk - ak for bk, ak in zip(b, a1u))
 
     return outer_iterate(
-        step, residual_diag, ctx.b0, lvl.zeros(ctx.dtype),
+        step, residual_diag, ctx.b0 if b0 is None else b0, lvl.zeros(ctx.dtype),
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
     )
 
@@ -98,7 +98,7 @@ def _diag_smoother(ctx: MGContext, lvl):
     return smooth
 
 
-def solve_additive(ctx: MGContext) -> OuterResult:
+def solve_additive(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """BPX-style additive cycle with the P*R filter (matrix-free)."""
     cfg = ctx.config
     v0, v1 = cfg.v
@@ -137,19 +137,20 @@ def solve_additive(ctx: MGContext) -> OuterResult:
         return us[0]
 
     return outer_iterate(
-        step, ctx.levels[0].residual, ctx.b0, ctx.levels[0].zeros(ctx.dtype),
+        step, ctx.levels[0].residual, ctx.b0 if b0 is None else b0,
+        ctx.levels[0].zeros(ctx.dtype),
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
     )
 
 
-def solve_additive2(ctx: MGContext) -> OuterResult:
+def solve_additive2(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """Two-level additive cycle with adaptive step length
     lambda = <r0, r1>/<r0, r0> (src/solver.c:1670-1693)."""
     cfg = ctx.config
     v0, v1 = cfg.v
     assert len(ctx.levels) == 2, "Additive2 requires exactly 2 levels"
     lvl0, lvl1 = ctx.levels
-    b = ctx.b0
+    b = ctx.b0 if b0 is None else b0
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
     bnorm = tree_norm2(b)

@@ -48,7 +48,7 @@ def _prolong_correct(u: State) -> State:
     )
 
 
-def solve_delayed(ctx: MGContext, kind: CycleType) -> OuterResult:
+def solve_delayed(ctx: MGContext, kind: CycleType, b0: State | None = None) -> OuterResult:
     cfg = ctx.config
     assert len(ctx.levels) == 1, "delayed cycles require levels == 1"
     lvl = ctx.levels[0]
@@ -61,7 +61,7 @@ def solve_delayed(ctx: MGContext, kind: CycleType) -> OuterResult:
         a1u = lvl.apply_diag(u)
         return tuple(bk - ak for bk, ak in zip(b, a1u))
 
-    b0 = ctx.b0
+    b0 = ctx.b0 if b0 is None else b0
     bnorm = tree_norm2(b0)
     u = lvl.zeros(ctx.dtype)
     r = residual_diag(b0, u)

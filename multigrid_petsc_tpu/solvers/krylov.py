@@ -26,7 +26,7 @@ from multigrid_petsc_tpu.solvers.outer import OuterResult
 from multigrid_petsc_tpu.solvers.vcycle import mg_apply
 
 
-def solve_mgcg(ctx: MGContext) -> OuterResult:
+def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """Preconditioned CG with one V-cycle as M.
 
     Standard PCG formulas hold verbatim for the negative-definite discrete
@@ -35,7 +35,7 @@ def solve_mgcg(ctx: MGContext) -> OuterResult:
     cfg = ctx.config
     v0, v1 = cfg.v
     lvl0 = ctx.levels[0]
-    b = ctx.b0
+    b = ctx.b0 if b0 is None else b0
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
     precond: Callable[[State], State] = lambda r: mg_apply(ctx, r, v0, v1)
@@ -91,7 +91,7 @@ def _unflatten(vec, shapes):
     return tuple(out)
 
 
-def solve_mgfgmres(ctx: MGContext, restart: int = 10) -> OuterResult:
+def solve_mgfgmres(ctx: MGContext, b0: State | None = None, restart: int = 10) -> OuterResult:
     """Flexible GMRES(restart) with one V-cycle as the (right)
     preconditioner.  History records ||r|| once per restart block."""
     cfg = ctx.config
@@ -99,7 +99,7 @@ def solve_mgfgmres(ctx: MGContext, restart: int = 10) -> OuterResult:
     lvl0 = ctx.levels[0]
     shapes = [g.shape for g in lvl0.spec.grids]
     m = restart
-    b = ctx.b0
+    b = ctx.b0 if b0 is None else b0
     hist_len = cfg.hist_len
     max_restarts = cfg.max_iter
 

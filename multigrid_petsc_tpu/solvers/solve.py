@@ -48,26 +48,30 @@ def _driver(ctx: MGContext):
     from multigrid_petsc_tpu.solvers import vcycle as vc
 
     c = ctx.config.cycle
+    # Every driver takes the RHS as an explicit argument so it enters the
+    # jitted computation as a parameter, NOT a baked-in HLO constant
+    # (large constants bloat executables and overflow remote-compile
+    # payloads at production grid sizes).
     if c == CycleType.VCYCLE:
-        return lambda: vc.solve_vcycle(ctx)
+        return lambda b0: vc.solve_vcycle(ctx, b0)
     if c == CycleType.PCMG:
-        return lambda: vc.solve_mg_richardson(ctx)
+        return lambda b0: vc.solve_mg_richardson(ctx, b0)
     if c == CycleType.FMG:
-        return lambda: vc.solve_fmg(ctx)
+        return lambda b0: vc.solve_fmg(ctx, b0)
     if c == CycleType.MGCG:
-        return lambda: kr.solve_mgcg(ctx)
+        return lambda b0: kr.solve_mgcg(ctx, b0)
     if c == CycleType.MGFGMRES:
-        return lambda: kr.solve_mgfgmres(ctx)
+        return lambda b0: kr.solve_mgfgmres(ctx, b0)
     if c == CycleType.ICYCLE:
-        return lambda: cy.solve_icycle(ctx)
+        return lambda b0: cy.solve_icycle(ctx, b0)
     if c == CycleType.ECYCLE:
-        return lambda: cy.solve_ecycle(ctx)
+        return lambda b0: cy.solve_ecycle(ctx, b0)
     if c == CycleType.ADDITIVE:
-        return lambda: cy.solve_additive(ctx)
+        return lambda b0: cy.solve_additive(ctx, b0)
     if c == CycleType.ADDITIVE2:
-        return lambda: cy.solve_additive2(ctx)
+        return lambda b0: cy.solve_additive2(ctx, b0)
     if c in (CycleType.D1CYCLE, CycleType.D2CYCLE, CycleType.D1PSCYCLE):
-        return lambda: dl.solve_delayed(ctx, c)
+        return lambda b0: dl.solve_delayed(ctx, c, b0)
     raise ValueError(f"unknown cycle {c}")
 
 
@@ -87,16 +91,17 @@ def solve(
         ctx = build_context(cfg, problem, plan=plan)
 
     run = jax.jit(_driver(ctx))
-    res: OuterResult = run()  # compile + first run
+    res: OuterResult = run(ctx.b0)  # compile + first run
     jax.block_until_ready(res)
+    int(res.iters)  # host readback: forces real synchronization (axon)
 
     # Timed run (state-free drivers: rerunning reproduces the same solve).
     t0w, t0c = time.perf_counter(), time.process_time()
-    res = run()
+    res = run(ctx.b0)
     jax.block_until_ready(res)
+    iters = int(res.iters)
     t1w, t1c = time.perf_counter(), time.process_time()
 
-    iters = int(res.iters)
     hist = np.asarray(res.rnorm_history)[: iters + 1]
     return SolveResult(
         u=tuple(np.asarray(x) for x in res.u),

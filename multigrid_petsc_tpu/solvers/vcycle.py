@@ -51,7 +51,7 @@ def mg_apply(ctx: MGContext, r: State, v0: int, v1: int) -> State:
     return v_cycle(ctx, r, z0, v0, v1)
 
 
-def solve_vcycle(ctx: MGContext) -> OuterResult:
+def solve_vcycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     cfg = ctx.config
     v0, v1 = cfg.v
 
@@ -62,7 +62,7 @@ def solve_vcycle(ctx: MGContext) -> OuterResult:
     return outer_iterate(
         step,
         ctx.levels[0].residual,
-        ctx.b0,
+        ctx.b0 if b0 is None else b0,
         u0,
         cfg.max_iter,
         cfg.rtol,
@@ -71,7 +71,7 @@ def solve_vcycle(ctx: MGContext) -> OuterResult:
     )
 
 
-def solve_mg_richardson(ctx: MGContext) -> OuterResult:
+def solve_mg_richardson(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """MG-preconditioned Richardson: u += M (b - A u).
 
     The framework's equivalent of the reference's PETSc-PCMG cross-check
@@ -91,12 +91,12 @@ def solve_mg_richardson(ctx: MGContext) -> OuterResult:
 
     u0 = lvl0.zeros(ctx.dtype)
     return outer_iterate(
-        step, lvl0.residual, ctx.b0, u0,
+        step, lvl0.residual, ctx.b0 if b0 is None else b0, u0,
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
     )
 
 
-def fmg_initial_guess(ctx: MGContext, n_coarse_cycles: int = 1) -> State:
+def fmg_initial_guess(ctx: MGContext, b0: State | None = None, n_coarse_cycles: int = 1) -> State:
     """Full-multigrid start: restrict the RHS to every level, solve upward
     from the coarsest with one V-cycle per level, prolonging between levels.
 
@@ -111,7 +111,7 @@ def fmg_initial_guess(ctx: MGContext, n_coarse_cycles: int = 1) -> State:
     dtype = ctx.dtype
 
     # Restrict the primary-grid RHS down the hierarchy.
-    bs: list[State] = [ctx.b0]
+    bs: list[State] = [ctx.b0 if b0 is None else b0]
     for l in range(L - 1):
         bs.append(ctx.restrict_to_next(l, bs[l][0]))
 
@@ -149,7 +149,7 @@ class _TruncatedCtx:
         return self._ctx.prolong_from_next(self._start + l, u_next)
 
 
-def solve_fmg(ctx: MGContext) -> OuterResult:
+def solve_fmg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """FMG start followed by standard V-cycle iteration to tolerance."""
     cfg = ctx.config
     v0, v1 = cfg.v
@@ -157,8 +157,8 @@ def solve_fmg(ctx: MGContext) -> OuterResult:
     def step(b, u):
         return v_cycle(ctx, b, u, v0, v1)
 
-    u0 = fmg_initial_guess(ctx)
+    u0 = fmg_initial_guess(ctx, b0)
     return outer_iterate(
-        step, ctx.levels[0].residual, ctx.b0, u0,
+        step, ctx.levels[0].residual, ctx.b0 if b0 is None else b0, u0,
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
     )

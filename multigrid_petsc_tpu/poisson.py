@@ -55,7 +55,12 @@ def main(argv=None) -> int:
     errs = error_norms(res.ctx.problem, mesh_type, res.u_fine)
 
     print_info(cfg, res, errs)
-    write_artifacts(".", mesh_type, res.u_fine, res.rnorm, errs)
+    r_global = r_grid = None
+    if res.aux is not None:
+        r_global = res.aux["r_global"]
+        r_grid = {g: res.aux["r_grid"][g] for g in range(res.aux["r_grid"].shape[0])}
+    write_artifacts(".", mesh_type, res.u_fine, res.rnorm, errs,
+                    r_global=r_global, r_grid=r_grid)
     return 0
 
 

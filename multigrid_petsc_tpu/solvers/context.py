@@ -52,6 +52,11 @@ class LevelCtx:
     use_pallas_apply: bool = False  # fused Pallas SpMV on this level
 
     def apply(self, u: State) -> State:
+        from multigrid_petsc_tpu.ops.stencil import Stencil9, apply_stencil9
+
+        if isinstance(self.stencils[0], Stencil9):
+            # 9-point path (anisotropic family): single grid per level.
+            return (apply_stencil9(self.stencils[0], u[0]),)
         if self.use_pallas_apply:
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
                 apply_stencil5_pallas,
@@ -137,6 +142,10 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
         return False  # GSPMD path handles distribution; Pallas+shard_map later
     if ctx.spec.is_composite:
         return False
+    from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+    if isinstance(ctx.stencils[0], Stencil9):
+        return False  # 9-point Pallas kernel not implemented yet
     g = ctx.spec.primary
     if g.ny < 256 or g.nx < 256:
         return False
@@ -188,6 +197,33 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
 
         def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
             return sm.chebyshev(_ctx.apply, _ctx.dinv, b, u, sweeps, _lmax)
+    elif kind in (SmootherType.LINE_Y, SmootherType.LINE_X, SmootherType.LINE_XY):
+        from multigrid_petsc_tpu.ops.stencil import (
+            Stencil9,
+            line_jacobi_sweeps_x,
+            line_jacobi_sweeps_y,
+        )
+
+        st = ctx.stencils[0]
+        if not isinstance(st, Stencil9):
+            # Promote a 5-point stencil to 9-point with zero corners so the
+            # line smoother also serves the stretched-mesh 5-pt operators.
+            z = jnp.zeros((1, 1), ctx.dinv[0].dtype)
+            st = Stencil9(csw=z, cs=st.cs, cse=z, cw=st.cw, cc=st.cc,
+                          ce=st.ce, cnw=z, cn=st.cn, cne=z)
+        assert not ctx.spec.is_composite, "line smoother: 1 grid per level"
+
+        def smooth(b, u, sweeps, _st=st, _kind=kind):
+            ub = u[0]
+            if _kind == SmootherType.LINE_Y:
+                ub = line_jacobi_sweeps_y(_st, b[0], ub, sweeps, cfg.omega)
+            elif _kind == SmootherType.LINE_X:
+                ub = line_jacobi_sweeps_x(_st, b[0], ub, sweeps, cfg.omega)
+            else:  # alternating
+                for _ in range(sweeps):
+                    ub = line_jacobi_sweeps_y(_st, b[0], ub, 1, cfg.omega)
+                    ub = line_jacobi_sweeps_x(_st, b[0], ub, 1, cfg.omega)
+            return (ub,)
     else:
         raise ValueError(f"unknown smoother {kind}")
     return smooth
@@ -207,11 +243,30 @@ def build_context(
     specs = build_hierarchy(cfg.npts, cfg.grids, cfg.levels)
     mesh_type = MeshType(cfg.mesh)
 
+    aniso = cfg.problem == "aniso"
+    if aniso:
+        from multigrid_petsc_tpu.problems import (
+            AnisoProblem,
+            stencil9_coefficients,
+        )
+
+        if cfg.grids != cfg.levels:
+            raise ValueError("aniso (9-pt) problem: composite levels "
+                             "unsupported; use grids == levels")
+        aniso_prob = AnisoProblem(*cfg.aniso)
+
     levels: list[LevelCtx] = []
     for spec in specs:
-        stencils = tuple(
-            stencil_coefficients(mesh_type, g.ny, g.nx, dtype) for g in spec.grids
-        )
+        if aniso:
+            stencils = tuple(
+                stencil9_coefficients(aniso_prob, g.ny, g.nx, dtype)
+                for g in spec.grids
+            )
+        else:
+            stencils = tuple(
+                stencil_coefficients(mesh_type, g.ny, g.nx, dtype)
+                for g in spec.grids
+            )
         shardings = None
         if plan is not None:
             from multigrid_petsc_tpu.parallel.device_mesh import put_sharded
@@ -219,7 +274,7 @@ def build_context(
             shardings = tuple(plan.sharding(g.ny, g.nx) for g in spec.grids)
             # Coefficient columns follow the grid's y partition.
             stencils = tuple(
-                Stencil5(*(put_sharded(c, plan.coeff_sharding(g.ny, g.nx))
+                type(st)(*(put_sharded(c, plan.coeff_sharding(g.ny, g.nx))
                            for c in st))
                 for st, g in zip(stencils, spec.grids)
             )
@@ -258,7 +313,13 @@ def build_context(
     # Level-0 RHS: f on grid 0, restricted f on merged coarser grids
     # (reference: src/solver.c:558-620 levelvecb fills only level 0).
     spec0 = specs[0]
-    f0 = rhs_grid(problem, mesh_type, spec0.primary.ny, spec0.primary.nx, dtype)
+    if aniso:
+        from multigrid_petsc_tpu.problems import aniso_rhs_grid
+
+        f0 = aniso_rhs_grid(aniso_prob, spec0.primary.ny, spec0.primary.nx, dtype)
+        problem = aniso_prob
+    else:
+        f0 = rhs_grid(problem, mesh_type, spec0.primary.ny, spec0.primary.nx, dtype)
     b0 = composite_rhs(f0, spec0.gids)
     if plan is not None:
         from multigrid_petsc_tpu.parallel.device_mesh import put_sharded

@@ -69,42 +69,94 @@ def solve_delayed(ctx: MGContext, kind: CycleType, b0: State | None = None) -> O
     hist_len = cfg.hist_len
     hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
 
+    # moreNorm monitors (reference: src/solver.c:1382-1399 rNormGridMonitor
+    # + KSPSetResidualHistory at src/solver.c:2534-2536): per inner-sweep
+    # global and per-grid residual 2-norms, (v+1) entries per outer
+    # iteration, recorded for the first smooth of each outer iteration
+    # (matching the reference's rNormGlobal/rNormGrid array sizing of
+    # max_iter*(v+1)).  Requires the Jacobi diag smoother so "one inner
+    # iteration" is well defined.
+    more = cfg.more_norm
+    mon_len = min(cfg.max_iter, hist_len) * (v + 1)
+    r_global = jnp.zeros(mon_len, dtype=rn0.dtype) if more else None
+    r_grid = jnp.zeros((G, mon_len), dtype=rn0.dtype) if more else None
+
+    def smooth_monitored(b, u, base, r_global, r_grid):
+        from multigrid_petsc_tpu.solvers import smoothers as smod
+
+        def sweep_body(s, carry):
+            u, r_global, r_grid = carry
+            rr = residual_diag(b, u)
+            idx = jnp.minimum(base + s, mon_len - 1)
+            r_global = r_global.at[idx].set(tree_norm2(rr))
+            for g in range(G):
+                r_grid = r_grid.at[g, idx].set(
+                    jnp.sqrt(jnp.vdot(rr[g], rr[g]).real)
+                )
+            u = jax.lax.cond(
+                s < v,
+                lambda u: smod.jacobi(
+                    lvl.apply_diag, lvl.dinv, b, u, 1, cfg.omega
+                ),
+                lambda u: u,
+                u,
+            )
+            return (u, r_global, r_grid)
+
+        return jax.lax.fori_loop(
+            0, v + 1, sweep_body, (u, r_global, r_grid)
+        )
+
+    def do_smooth(b, u, i, r_global, r_grid, record):
+        if more and record:
+            return smooth_monitored(b, u, i * (v + 1), r_global, r_grid)
+        return smooth(b, u, v), r_global, r_grid
+
     def body(carry):
-        u, r, b, i, rn, hist = carry
+        u, r, b, i, rn, hist, r_global, r_grid = carry
         if kind == CycleType.D1CYCLE:
             b = _restrict_delayed(b, r)
             u = _prolong_correct(u)
-            u = smooth(b, u, v)
+            u, r_global, r_grid = do_smooth(b, u, i, r_global, r_grid, True)
         elif kind == CycleType.D2CYCLE:
             b = _restrict_delayed(b, r)
-            u = smooth(b, u, v)
+            u, r_global, r_grid = do_smooth(b, u, i, r_global, r_grid, True)
             u = _prolong_correct(u)
         elif kind == CycleType.D1PSCYCLE:
             u = _prolong_correct(u)
-            u = smooth(b, u, v)
+            u, r_global, r_grid = do_smooth(b, u, i, r_global, r_grid, True)
             b = _restrict_delayed(b, r)
-            u = smooth(b, u, v)
+            u, r_global, r_grid = do_smooth(b, u, i, r_global, r_grid, False)
         else:  # pragma: no cover
             raise ValueError(kind)
         r = residual_diag(b, u)
         rn = tree_norm2(r)
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
-        return (u, r, b, i + 1, rn, hist)
+        return (u, r, b, i + 1, rn, hist, r_global, r_grid)
 
     def cond(carry):
-        u, r, b, i, rn, hist = carry
+        u, r, b, i, rn, hist, r_global, r_grid = carry
         return (
             (i < cfg.max_iter)
             & (cfg.divtol * bnorm > rn)
             & (rn > cfg.rtol * bnorm)
         )
 
-    u, r, b, iters, rn, hist = jax.lax.while_loop(
-        cond, body, (u, r, b0, 0, rn0, hist)
+    u, r, b, iters, rn, hist, r_global, r_grid = jax.lax.while_loop(
+        cond, body, (u, r, b0, 0, rn0, hist, r_global, r_grid)
     )
+    aux = None
+    if more:
+        # Normalized by the first entry, like the reference
+        # (src/solver.c:2593-2603).
+        aux = {
+            "r_global": r_global / r_global[0],
+            "r_grid": r_grid / r_grid[:, :1],
+        }
     return OuterResult(
         u=u,
         rnorm_history=hist / hist[0],
         iters=iters,
         converged=rn <= cfg.rtol * bnorm,
+        aux=aux,
     )

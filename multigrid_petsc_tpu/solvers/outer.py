@@ -28,6 +28,7 @@ class OuterResult(NamedTuple):
     rnorm_history: jnp.ndarray  # normalized by entry 0; length hist_len+1
     iters: jnp.ndarray  # i32
     converged: jnp.ndarray  # bool
+    aux: dict | None = None  # driver extras (e.g. moreNorm monitor arrays)
 
 
 def outer_iterate(

@@ -30,6 +30,7 @@ class SolveResult:
     wall_time: float  # solve-loop wall seconds (compile excluded)
     cpu_time: float
     ctx: MGContext
+    aux: dict | None = None  # moreNorm monitor arrays etc.
 
     @property
     def u_fine(self) -> np.ndarray:
@@ -103,6 +104,14 @@ def solve(
     t1w, t1c = time.perf_counter(), time.process_time()
 
     hist = np.asarray(res.rnorm_history)[: iters + 1]
+    aux = None
+    if res.aux is not None:
+        # Truncate monitor arrays to the iterations actually run.
+        n_inner = iters * (cfg.v[0] + 1)
+        aux = {
+            "r_global": np.asarray(res.aux["r_global"])[:n_inner],
+            "r_grid": np.asarray(res.aux["r_grid"])[:, :n_inner],
+        }
     return SolveResult(
         u=tuple(np.asarray(x) for x in res.u),
         rnorm=hist,
@@ -111,4 +120,5 @@ def solve(
         wall_time=t1w - t0w,
         cpu_time=t1c - t0c,
         ctx=ctx,
+        aux=aux,
     )

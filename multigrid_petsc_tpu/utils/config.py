@@ -36,6 +36,9 @@ class CycleType(enum.Enum):
 class SmootherType(enum.Enum):
     JACOBI = "jacobi"
     CHEBYSHEV = "chebyshev"
+    LINE_Y = "line_y"    # y-line Jacobi (tridiagonal in the strong direction)
+    LINE_X = "line_x"
+    LINE_XY = "line_xy"  # alternating x/y line sweeps
 
 
 @dataclass(frozen=True)
@@ -53,6 +56,8 @@ class SolverConfig:
     more_norm: bool = False   # per-grid inner residual monitors (-moreNorm)
 
     # TPU-framework knobs (no reference equivalent).
+    problem: str = "poisson"  # "poisson" (5-pt, mesh metrics) | "aniso" (9-pt)
+    aniso: tuple = (1.0, 0.0, 1.0, 0.0, 0.0)  # (ax0, ax2, cy0, cy2, b)
     smoother: SmootherType = SmootherType.JACOBI
     composite_smoother: str = "block_gs"  # smoother on merged-grid levels
     backend: str = "auto"  # auto | xla | pallas (hot-path kernel choice)

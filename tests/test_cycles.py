@@ -138,3 +138,21 @@ def test_config_guards():
         SolverConfig(grids=3, levels=3, cycle=CycleType.ADDITIVE2).validate()
     with pytest.raises(ValueError):
         SolverConfig(grids=2, levels=3).validate()
+
+
+def test_morenorm_monitors():
+    """moreNorm: per-inner-sweep global + per-grid residual norms
+    (reference C20, src/solver.c:1382-1399)."""
+    res = solve(_cfg(npts=9, cycle=CycleType.D1CYCLE, max_iter=500,
+                     more_norm=True))
+    assert res.aux is not None
+    v = res.ctx.config.v[0]
+    n_inner = res.iters * (v + 1)
+    assert res.aux["r_global"].shape == (n_inner,)
+    assert res.aux["r_grid"].shape == (2, n_inner)
+    assert res.aux["r_global"][0] == 1.0  # normalized by first entry
+    assert np.all(res.aux["r_grid"][:, 0] == 1.0)
+    # Monitoring must not change the iteration itself.
+    plain = solve(_cfg(npts=9, cycle=CycleType.D1CYCLE, max_iter=500))
+    assert plain.iters == res.iters
+    np.testing.assert_allclose(plain.rnorm, res.rnorm, rtol=1e-12)

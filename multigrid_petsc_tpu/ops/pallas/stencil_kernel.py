@@ -42,6 +42,17 @@ def _pick_tile(n_cols: int, dtype, bufs: int, cap: int = 512) -> int:
     return max(8, (t // 8) * 8)
 
 
+def _x64_scope(dtype):
+    """Disable x64 inside pallas_call tracing for 32-bit data (Mosaic
+    cannot legalize i64 index math); keep it for 64-bit data (interpret
+    mode / CPU only)."""
+    import contextlib
+
+    if jnp.dtype(dtype).itemsize >= 8:
+        return contextlib.nullcontext()
+    return jax.enable_x64(False)
+
+
 def _coeff_cols(st: Stencil5, ny: int, dtype):
     return [jnp.broadcast_to(c, (ny, 1)).astype(dtype) for c in st]
 
@@ -76,13 +87,17 @@ def _make_apply_kernel(g: int, t: int, ny: int):
 
     def kernel(cs_ref, cw_ref, cc_ref, ce_ref, cn_ref,
                u_ref, top_ref, bot_ref, out_ref):
-        i = pl.program_id(0)
+        # Index math pinned to i32: under jax_enable_x64, python-int mixing
+        # would promote to i64, which Mosaic cannot legalize.
+        i = pl.program_id(0).astype(jnp.int32)
         u = u_ref[:]
         if tl != t:
             # Ragged last block: rows >= tl are padding garbage; they feed
             # the north-shift of row tl-1, so zero them explicitly.
             rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-            u = jnp.where((i < g - 1) | (rows < tl), u, 0.0)
+            u = jnp.where(
+                (i < jnp.int32(g - 1)) | (rows < jnp.int32(tl)), u, 0.0
+            )
         south = jnp.concatenate([top_ref[0], u[:-1]], axis=0)
         north = jnp.concatenate([u[1:], bot_ref[0]], axis=0)
         out_ref[:] = (
@@ -115,20 +130,25 @@ def apply_stencil5_pallas(
                               memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((1, 1, nx), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _make_apply_kernel(g, t, ny),
-        grid=(g,),
-        in_specs=[coeff_spec] * 5
-        + [
-            pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            halo_spec,
-            halo_spec,
-        ],
-        out_specs=pl.BlockSpec((t, nx), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
-        interpret=interpret,
-    )(*coeffs, u, tops, bots)
+    # Mosaic cannot legalize the i64 index arithmetic that jax_enable_x64
+    # induces inside pallas_call — trace the kernel with x64 scoped off
+    # unless the data itself is 64-bit (f64 runs use interpret/CPU).
+    with _x64_scope(u.dtype):
+        return pl.pallas_call(
+            _make_apply_kernel(g, t, ny),
+            grid=(g,),
+            in_specs=[coeff_spec] * 5
+            + [
+                pl.BlockSpec((t, nx), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                halo_spec,
+                halo_spec,
+            ],
+            out_specs=pl.BlockSpec((t, nx), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+            interpret=interpret,
+        )(*coeffs, u, tops, bots)
 
 
 # --------------------------------------------------------------------------
@@ -155,16 +175,30 @@ def _halo_windows(x: jnp.ndarray, t: int, g: int, k: int):
         bot = bot.at[:m, j].set(src[:m])
     return top, bot
 
-def _make_jacobi_kernel(ny, t, k, g, omega):
+def _make_smooth_kernel(ny, t, k, g, steps):
+    """Generic fused k-step polynomial smoother kernel.
+
+    ``steps`` is a static list of (alpha_s, beta_s) scalars defining
+
+        z_s = D^-1 (b - A u_s)
+        p_{s+1} = beta_s * p_s + alpha_s * z_s
+        u_{s+1} = u_s + p_{s+1}
+
+    Damped Jacobi is (omega, 0) repeated; Chebyshev uses its static
+    rho-recurrence coefficients.  Pollution from the unknown slab edges
+    still travels one row per A-application, so the k-row halo argument of
+    the Jacobi kernel holds unchanged.
+    """
     tl = ny - (g - 1) * t  # valid rows in the ragged last block
 
     def kernel(c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, out_ref):
-        i = pl.program_id(0)
+        # i32-pinned index math (see apply kernel note re jax_enable_x64).
+        i = pl.program_id(0).astype(jnp.int32)
         u = u_ref[:]
         bmid = b_ref[:]
         if tl != t:
             rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-            valid = (i < g - 1) | (rows < tl)
+            valid = (i < jnp.int32(g - 1)) | (rows < jnp.int32(tl))
             u = jnp.where(valid, u, 0.0)
             bmid = jnp.where(valid, bmid, 0.0)
         u = jnp.concatenate([ut_ref[0], u, ub_ref[0]], axis=0)  # (t+2k, nx)
@@ -174,47 +208,73 @@ def _make_jacobi_kernel(ny, t, k, g, omega):
         cc = c_ref[0, 2]
         ce = c_ref[0, 3]
         cn = c_ref[0, 4]
-        dinv = omega / cc
+        dinv = 1.0 / cc
         # Slab rows outside [0, ny) are phantom Dirichlet cells: they must
-        # stay ZERO through every sweep (a sweep would otherwise update
-        # them from their neighbors and feed the error back inward).
-        grow = i * t - k + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
-        inside = (grow >= 0) & (grow < ny)
-        for _s in range(k):
+        # stay ZERO through every step (a step would otherwise update them
+        # from their neighbors and feed the error back inward).
+        grow = (i * jnp.int32(t) - jnp.int32(k)
+                + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        p = jnp.zeros_like(u)
+        for (alpha, beta) in steps:
             south = jnp.concatenate([jnp.zeros_like(u[:1]), u[:-1]], axis=0)
             north = jnp.concatenate([u[1:], jnp.zeros_like(u[:1])], axis=0)
             au = (cc * u + cs * south + cn * north
                   + cw * _shift_w(u) + ce * _shift_e(u))
-            u = jnp.where(inside, u + dinv * (b - au), 0.0)
+            z = dinv * (b - au)
+            p = beta * p + alpha * z
+            u = jnp.where(inside, u + p, 0.0)
         out_ref[:] = u[k : k + t]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "omega", "interpret"))
-def jacobi_sweeps_pallas(
+def jacobi_step_coeffs(sweeps: int, omega: float):
+    return tuple((omega, 0.0) for _ in range(sweeps))
+
+
+def chebyshev_step_coeffs(sweeps: int, lmax: float,
+                          lmin_frac: float = 0.1, lmax_scale: float = 1.05):
+    """Static (alpha, beta) sequence reproducing solvers.smoothers.chebyshev
+    exactly (same theta/delta/rho recurrence)."""
+    lo = lmin_frac * lmax
+    hi = lmax_scale * lmax
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    steps = [(1.0 / theta, 0.0)]
+    rho = 1.0 / sigma
+    for _ in range(sweeps - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        steps.append((2.0 * rho_new / delta, rho_new * rho))
+        rho = rho_new
+    return tuple(steps)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
+def smooth_sweeps_pallas(
     st: Stencil5,
     b: jnp.ndarray,
     u: jnp.ndarray,
-    sweeps: int,
-    omega: float = 0.8,
+    steps: tuple,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """k fused damped-Jacobi sweeps (temporal blocking), k = ``sweeps``.
+    """Fused polynomial smoother: k = len(steps) stencil applications in
+    ONE read of (u, b) and one write of u (temporal blocking).
 
     Raises ValueError for grids too small to carry a k-row halo (callers
-    fall back to ops.stencil.jacobi_sweeps there).
+    fall back to the jnp smoothers there).
     """
     ny, nx = u.shape
-    k = sweeps
+    k = len(steps)
     t = _pick_tile(nx, u.dtype, bufs=8, cap=256)
     if ny < t + 2 * k:
         t = max(8, ((ny - 2 * k) // 8) * 8)
         if t < 8 or ny < t + 2 * k:
-            raise ValueError("grid too small for fused Pallas Jacobi")
+            raise ValueError("grid too small for fused Pallas smoother")
     g = pl.cdiv(ny, t)
     if g < 2:
-        raise ValueError("grid too small for fused Pallas Jacobi")
+        raise ValueError("grid too small for fused Pallas smoother")
 
     u_top, u_bot = _halo_windows(u, t, g, k)
     b_top, b_bot = _halo_windows(b, t, g, k)
@@ -238,13 +298,44 @@ def jacobi_sweeps_pallas(
     coeff_spec = pl.BlockSpec((1, 5, t2k, 1), lambda i: (i, 0, 0, 0),
                               memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        _make_jacobi_kernel(ny, t, k, g, omega),
-        grid=(g,),
-        in_specs=[coeff_spec, mid_spec, halo_spec, halo_spec,
-                  mid_spec, halo_spec, halo_spec],
-        out_specs=pl.BlockSpec((t, nx), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
-        interpret=interpret,
-    )(c_slabs, u, u_top, u_bot, b, b_top, b_bot)
+    # x64 scoped off for Mosaic (see apply_stencil5_pallas note).
+    with _x64_scope(u.dtype):
+        return pl.pallas_call(
+            _make_smooth_kernel(ny, t, k, g, steps),
+            grid=(g,),
+            in_specs=[coeff_spec, mid_spec, halo_spec, halo_spec,
+                      mid_spec, halo_spec, halo_spec],
+            out_specs=pl.BlockSpec((t, nx), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+            interpret=interpret,
+        )(c_slabs, u, u_top, u_bot, b, b_top, b_bot)
+
+
+def jacobi_sweeps_pallas(
+    st: Stencil5,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    sweeps: int,
+    omega: float = 0.8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """k fused damped-Jacobi sweeps (temporal blocking)."""
+    return smooth_sweeps_pallas(
+        st, b, u, jacobi_step_coeffs(sweeps, omega), interpret=interpret
+    )
+
+
+def chebyshev_sweeps_pallas(
+    st: Stencil5,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    sweeps: int,
+    lmax: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """k fused Chebyshev-accelerated Jacobi steps — same HBM traffic as
+    fused Jacobi (the direction state p lives entirely in VMEM)."""
+    return smooth_sweeps_pallas(
+        st, b, u, chebyshev_step_coeffs(sweeps, lmax), interpret=interpret
+    )

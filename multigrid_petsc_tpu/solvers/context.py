@@ -195,8 +195,20 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
         )
         ctx.lmax = lmax
 
-        def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
-            return sm.chebyshev(_ctx.apply, _ctx.dinv, b, u, sweeps, _lmax)
+        if _use_pallas(ctx, cfg):
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                chebyshev_sweeps_pallas,
+            )
+
+            def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
+                return (
+                    chebyshev_sweeps_pallas(
+                        _ctx.stencils[0], b[0], u[0], sweeps, _lmax
+                    ),
+                )
+        else:
+            def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
+                return sm.chebyshev(_ctx.apply, _ctx.dinv, b, u, sweeps, _lmax)
     elif kind in (SmootherType.LINE_Y, SmootherType.LINE_X, SmootherType.LINE_XY):
         from multigrid_petsc_tpu.ops.stencil import (
             Stencil9,
@@ -235,7 +247,9 @@ def build_context(
     plan=None,  # parallel.ShardingPlan for distributed mode
 ) -> MGContext:
     problem = problem or poisson_sin_problem()
-    if cfg.dtype == "float64" and not jax.config.jax_enable_x64:
+    if (
+        cfg.dtype == "float64" or cfg.outer_dtype == "float64"
+    ) and not jax.config.jax_enable_x64:
         # Without this, jnp silently truncates to f32 and a 1e-7 relative
         # residual target can spin to max_iter at the f32 roundoff floor.
         jax.config.update("jax_enable_x64", True)

@@ -60,6 +60,8 @@ def _driver(ctx: MGContext):
     if c == CycleType.FMG:
         return lambda b0: vc.solve_fmg(ctx, b0)
     if c == CycleType.MGCG:
+        if ctx.config.outer_dtype is not None:
+            return lambda b0: kr.solve_mgcg_mixed(ctx, b0)
         return lambda b0: kr.solve_mgcg(ctx, b0)
     if c == CycleType.MGFGMRES:
         return lambda b0: kr.solve_mgfgmres(ctx, b0)
@@ -91,14 +93,29 @@ def solve(
     if ctx is None:
         ctx = build_context(cfg, problem, plan=plan)
 
+    b_in = ctx.b0
+    if cfg.outer_dtype is not None and cfg.cycle == CycleType.MGCG:
+        # Mixed-precision outer: evaluate the RHS directly in the outer
+        # dtype (see solve_mgcg_mixed).
+        import jax.numpy as jnp
+
+        from multigrid_petsc_tpu.mesh import MeshType
+        from multigrid_petsc_tpu.problems import rhs_grid
+
+        g0 = ctx.levels[0].spec.primary
+        b_in = (
+            rhs_grid(ctx.problem, MeshType(cfg.mesh), g0.ny, g0.nx,
+                     jnp.dtype(cfg.outer_dtype)),
+        )
+
     run = jax.jit(_driver(ctx))
-    res: OuterResult = run(ctx.b0)  # compile + first run
+    res: OuterResult = run(b_in)  # compile + first run
     jax.block_until_ready(res)
     int(res.iters)  # host readback: forces real synchronization (axon)
 
     # Timed run (state-free drivers: rerunning reproduces the same solve).
     t0w, t0c = time.perf_counter(), time.process_time()
-    res = run(ctx.b0)
+    res = run(b_in)
     jax.block_until_ready(res)
     iters = int(res.iters)
     t1w, t1c = time.perf_counter(), time.process_time()

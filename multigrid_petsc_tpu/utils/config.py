@@ -68,6 +68,10 @@ class SolverConfig:
     rtol: float = 1.0e-7      # relative-residual stop (src/solver.c:1530)
     divtol: float = 1.0e8     # divergence guard (src/solver.c:1530)
     dtype: str = "float64"    # "float32" | "float64" | "bfloat16"
+    outer_dtype: str | None = None  # e.g. "float64" over f32: mixed-precision
+    # defect-correction outer loop (residuals/corrections in outer_dtype,
+    # MG preconditioner in dtype) — certifies 1e-8 residuals on TPU where
+    # f64 compute is emulated but f32 alone hits its roundoff floor
     history_len: int | None = None  # residual-history capacity (default: max_iter)
 
     def validate(self) -> "SolverConfig":
@@ -130,6 +134,16 @@ def parse_options_file(path: str | Path, base: SolverConfig | None = None) -> So
             updates["rtol"] = float(val)
         elif key == "dtype":
             updates["dtype"] = val
+        elif key == "outer_dtype":
+            updates["outer_dtype"] = val
+        elif key == "backend":
+            updates["backend"] = val
+        elif key == "coarse":
+            updates["coarse_solver"] = val
+        elif key == "problem":
+            updates["problem"] = val
+        elif key == "aniso":
+            updates["aniso"] = tuple(float(x) for x in val.split(","))
         elif key in _KEY_MAP:
             name, conv = _KEY_MAP[key]
             updates[name] = conv(val)

@@ -52,3 +52,27 @@ def test_too_small_raises():
     u = jnp.zeros((7, 7))
     with pytest.raises(ValueError):
         jacobi_sweeps_pallas(st, u, u, 3, 0.8, interpret=True)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (100, 63)])
+@pytest.mark.parametrize("sweeps", [1, 4])
+def test_fused_chebyshev_matches(shape, sweeps):
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        chebyshev_sweeps_pallas,
+    )
+    from multigrid_petsc_tpu.solvers.smoothers import chebyshev
+
+    ny, nx = shape
+    st = stencil_coefficients(MeshType.NONUNIFORM2, ny, nx)
+    rng = np.random.default_rng(ny + sweeps)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    lmax = 1.9
+    dinv = (1.0 / st.cc,)
+    ref = chebyshev(
+        lambda s: (None,) and ( __import__("multigrid_petsc_tpu.ops.stencil", fromlist=["apply_stencil5"]).apply_stencil5(st, s[0]),),
+        dinv, (b,), (u,), sweeps, lmax,
+    )[0]
+    got = chebyshev_sweeps_pallas(st, b, u, sweeps, lmax, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)

@@ -111,3 +111,29 @@ def test_rnorm_history_semantics():
     assert res.rnorm[0] == 1.0  # normalized by first entry
     assert len(res.rnorm) == res.iters + 1
     assert np.all(res.rnorm[:-1] > res.rnorm[-1])  # monotone-ish decline
+
+
+def test_mixed_precision_outer():
+    """f32 MG + f64 defect-correction outer: certifies residuals far below
+    the f32 floor (the path to BASELINE's 1e-8 on TPU)."""
+    import jax.numpy as jnp
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+    from multigrid_petsc_tpu.problems import (
+        rhs_grid, stencil_coefficients, poisson_sin_problem,
+    )
+
+    cfg = _cfg(npts=129, grids=5, levels=5, cycle=CycleType.MGCG,
+               dtype="float32", max_iter=20)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, outer_dtype="float64", rtol=1e-10)
+    res = solve(cfg)
+    assert res.converged
+    assert res.u_fine.dtype == np.float64
+    # Certify with an independent f64 residual computation.
+    st = stencil_coefficients(MeshType.UNIFORM, 127, 127, jnp.float64)
+    b = rhs_grid(poisson_sin_problem(), MeshType.UNIFORM, 127, 127, jnp.float64)
+    true_rel = float(
+        np.linalg.norm(np.asarray(b - apply_stencil5(st, jnp.asarray(res.u_fine))))
+        / np.linalg.norm(np.asarray(b))
+    )
+    assert true_rel < 1e-10

@@ -1,0 +1,27 @@
+"""Solution gather: assemble the (possibly sharded / multi-host) fine-grid
+solution on every host as a numpy array.
+
+Capability parity with the reference's GetSol (reference:
+src/solver.c:1239-1315: rank-0 MPI_Send/Recv gather + reorder through the
+global index map — including a latent bug where counts are sent with
+MPI_DOUBLE, deliberately NOT replicated here).  TPU-native: addressable
+shards are read directly; multi-host runs use
+jax.experimental.multihost_utils.process_allgather over DCN.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def gather_solution(u) -> np.ndarray:
+    """Fine-grid solution as a host numpy array, on every process."""
+    arr = u[0] if isinstance(u, tuple) else u
+    if isinstance(arr, np.ndarray):
+        return arr
+    if jax.process_count() > 1:  # pragma: no cover (needs multi-host)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)

@@ -209,6 +209,24 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
         else:
             def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
                 return sm.chebyshev(_ctx.apply, _ctx.dinv, b, u, sweeps, _lmax)
+    elif kind == SmootherType.RBGS:
+        from multigrid_petsc_tpu.ops.stencil import (
+            Stencil9,
+            sor_redblack_sweeps,
+        )
+
+        assert not ctx.spec.is_composite, "RBGS: 1 grid per level"
+        assert not isinstance(ctx.stencils[0], Stencil9), (
+            "RBGS is 5-point only (corner couplings break the two-color "
+            "independence); use line smoothers for 9-point operators"
+        )
+
+        def smooth(b, u, sweeps, _ctx=ctx):
+            return (
+                sor_redblack_sweeps(
+                    _ctx.stencils[0], b[0], u[0], sweeps, cfg.omega
+                ),
+            )
     elif kind in (SmootherType.LINE_Y, SmootherType.LINE_X, SmootherType.LINE_XY):
         from multigrid_petsc_tpu.ops.stencil import (
             Stencil9,

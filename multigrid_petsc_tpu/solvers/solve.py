@@ -83,11 +83,16 @@ def solve(
     problem=None,
     ctx: MGContext | None = None,
     plan=None,
+    u0=None,
 ) -> SolveResult:
     """Set up (unless given a prebuilt context) and run the configured
     solver.  Timing brackets only the jitted solve, compile excluded —
     mirroring the reference's solver-stage timers (src/solver.c:1526-1553).
     ``plan`` (a parallel.ShardingPlan) enables the distributed path.
+
+    ``u0`` warm-starts the solve (checkpoint resume): by linearity the
+    driver solves A e = b - A u0 from zero and u0 is added back — no
+    driver needs to know.
     """
     cfg = cfg.validate()
     if ctx is None:
@@ -107,6 +112,25 @@ def solve(
             rhs_grid(ctx.problem, MeshType(cfg.mesh), g0.ny, g0.nx,
                      jnp.dtype(cfg.outer_dtype)),
         )
+
+    if u0 is not None:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from multigrid_petsc_tpu.ops.norms import tree_norm2
+
+        if cfg.outer_dtype is not None:
+            raise NotImplementedError("warm start + mixed outer not wired")
+        u0 = tuple(jnp.asarray(x, ctx.dtype) for x in u0)
+        bn_orig = float(tree_norm2(b_in))
+        b_in = jax.jit(ctx.levels[0].residual)(b_in, u0)
+        bn_new = float(tree_norm2(b_in))
+        # The driver solves the correction system A e = b - A u0; keep the
+        # stopping target equivalent to rtol * ||b_original||.
+        eff_rtol = min(1.0, cfg.rtol * bn_orig / max(bn_new, 1e-300))
+        cfg = dataclasses.replace(cfg, rtol=eff_rtol)
+        ctx = dataclasses.replace(ctx, config=cfg)
 
     run = jax.jit(_driver(ctx))
     res: OuterResult = run(b_in)  # compile + first run
@@ -129,8 +153,11 @@ def solve(
             "r_global": np.asarray(res.aux["r_global"])[:n_inner],
             "r_grid": np.asarray(res.aux["r_grid"])[:, :n_inner],
         }
+    u_out = res.u
+    if u0 is not None:
+        u_out = tuple(a + b for a, b in zip(u_out, u0))
     return SolveResult(
-        u=tuple(np.asarray(x) for x in res.u),
+        u=tuple(np.asarray(x) for x in u_out),
         rnorm=hist,
         iters=iters,
         converged=bool(res.converged),

@@ -36,6 +36,7 @@ class CycleType(enum.Enum):
 class SmootherType(enum.Enum):
     JACOBI = "jacobi"
     CHEBYSHEV = "chebyshev"
+    RBGS = "rbgs"        # red-black Gauss-Seidel (two masked half-sweeps)
     LINE_Y = "line_y"    # y-line Jacobi (tridiagonal in the strong direction)
     LINE_X = "line_x"
     LINE_XY = "line_xy"  # alternating x/y line sweeps

@@ -137,3 +137,68 @@ def test_mixed_precision_outer():
         / np.linalg.norm(np.asarray(b))
     )
     assert true_rel < 1e-10
+
+
+def test_rbgs_smoother():
+    from multigrid_petsc_tpu.utils.config import SmootherType
+    res = solve(_cfg(npts=65, grids=4, levels=4,
+                     smoother=SmootherType.RBGS, omega=1.0))
+    assert res.converged
+    assert res.iters <= 8  # RB-GS smooths better than damped Jacobi
+
+
+def test_profiling_and_views():
+    from multigrid_petsc_tpu.hierarchy import build_hierarchy
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.utils import profiling, views
+
+    cfg = _cfg(npts=33, grids=3, levels=3)
+    ctx = build_context(cfg)
+    t = profiling.phase_breakdown(ctx, reps=2)
+    assert set(t) == {"smooth_v", "residual", "restrict", "prolong", "norm"}
+    assert all(v > 0 for v in t.values())
+    s = views.view_hierarchy(build_hierarchy(33, 3, 3))
+    assert "level 0" in s and "level 2" in s
+    s = views.view_mesh(MeshType.NONUNIFORM2, 9)
+    assert "max spacing" in s
+    s = views.view_transfer_operators(2)
+    assert "gap 2" in s
+    s = views.view_operator(ctx, 0, max_rows=2)
+    assert "nnz" in s
+
+
+def test_gather_solution():
+    from multigrid_petsc_tpu.parallel.gather import gather_solution
+    res = solve(_cfg())
+    g = gather_solution(res.u)
+    assert g.shape == (15, 15)
+
+
+def test_checkpoint_resume():
+    """Save after a truncated solve, resume via warm start, land at the
+    same solution as an uninterrupted solve."""
+    import tempfile, os
+    from multigrid_petsc_tpu.utils import checkpoint
+
+    cfg_full = _cfg(npts=33, grids=3, levels=3)
+    full = solve(cfg_full)
+
+    cfg_part = _cfg(npts=33, grids=3, levels=3, max_iter=2)
+    part = solve(cfg_part)
+    assert not part.converged
+    path = os.path.join(tempfile.mkdtemp(), "ck.npz")
+    checkpoint.save(path, cfg_part, part.u, part.rnorm, part.iters)
+
+    u0, rnorm, iters = checkpoint.load(path, cfg_part)
+    assert iters == 2
+    resumed = solve(cfg_full, u0=u0)
+    assert resumed.converged
+    np.testing.assert_allclose(resumed.u_fine, full.u_fine,
+                               rtol=1e-6, atol=1e-10)
+    # total work: 2 checkpointed + resumed <= full + 1 (restart rounding)
+    assert iters + resumed.iters <= full.iters + 1
+
+    # Mismatched config refuses to resume.
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        checkpoint.load(path, _cfg(npts=65, grids=3, levels=3))

@@ -339,3 +339,269 @@ def chebyshev_sweeps_pallas(
     return smooth_sweeps_pallas(
         st, b, u, chebyshev_step_coeffs(sweeps, lmax), interpret=interpret
     )
+
+
+# --------------------------------------------------------------------------
+# V-cycle mega-kernels: correct -> smooth -> residual -> restrict fused.
+#
+# A textbook V-cycle level visit spends most of its HBM passes AROUND the
+# smoother: the residual is an unfused apply + subtract, the restriction
+# re-reads the residual, and the coarse correction rewrites u before the
+# post-smoother re-reads it.  These kernels fold all of that into the
+# smoother's single read of (u, b):
+#
+#   down-leg:  (u, b)            -> smooth -> u', restrict(b - A u')
+#   up-leg:    (u, b, e_coarse)  -> u + P e -> smooth -> u' [, b - A u']
+#
+# The y-direction halves of the transfers run in-VMEM (Mosaic lowers
+# sublane-dim reshape-interleaves; strided slices do NOT lower — verified
+# on v5p); the x-direction halves are single cheap XLA passes over the
+# HALF-height intermediates (``_prolong_x`` / ``_restrict_x``).
+#
+# Halo sizing: with ``h`` exact halo rows and k smoothing steps, rows
+# within distance h-k of the slab stay exact; the trailing residual apply
+# costs one more row, and the y-restriction window [2c, 2c+2] one more:
+#   emit="u"    h = k        emit="ur"  h = k + 1     emit="rc"  h = k + 2.
+# --------------------------------------------------------------------------
+
+
+def _gather_rows(x: jnp.ndarray, g: int, stride: int, lo: int, rows: int):
+    """(g, rows, nx): window i holds x[i*stride + lo : i*stride + lo + rows]
+    with zeros outside [0, x.shape[0]) (eliminated Dirichlet / block pad)."""
+    import numpy as np
+
+    n = x.shape[0]
+    idx = np.arange(g)[:, None] * stride + lo + np.arange(rows)[None, :]
+    valid = jnp.asarray((idx >= 0) & (idx < n), x.dtype)[..., None]
+    return x[jnp.asarray(np.clip(idx, 0, n - 1))] * valid
+
+
+def _prolong_x_vmem(e_loc: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel x-direction half of bilinear prolongation,
+    (hc, nxc) -> (hc, 2*nxc+1): fine col 2J+1 = e[:, J], col 2J = average
+    of neighbors (zero Dirichlet edges).
+
+    Mosaic cannot interleave LANES (strided lane slices and minor-dim
+    reshapes fail to lower — verified on v5e), but SUBLANE stack+reshape
+    interleaves lower fine, so the slab is transposed, interleaved along
+    sublanes, and transposed back — all in VMEM (the slab is ~t/2 rows,
+    so the transposes are cheap shuffles, no HBM traffic)."""
+    hc, nxc = e_loc.shape
+    et = e_loc.T  # (nxc, hc)
+    z = jnp.zeros((1, hc), e_loc.dtype)
+    ep = jnp.concatenate([z, et, z], axis=0)
+    ph = 0.5 * (ep[:-1] + ep[1:])  # (nxc + 1, hc): fine even cols
+    body = jnp.stack([ph[:nxc], et], axis=1).reshape(2 * nxc, hc)
+    out = jnp.concatenate([body, ph[nxc : nxc + 1]], axis=0)  # (nx, hc)
+    return out.T
+
+
+def _restrict_x_vmem(ry: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel x-direction half of full weighting,
+    (tc, 2*nxc+1) -> (tc, nxc), including the overall 1/16 scaling.
+    Same transpose trick as _prolong_x_vmem (sublane de-interleave via
+    reshape + middle-axis slice lowers; lane-strided slices do not)."""
+    tc, nx = ry.shape
+    nxc = (nx - 1) // 2
+    rt = ry.T  # (nx, tc)
+    v = rt[: 2 * nxc].reshape(nxc, 2, tc)
+    ev, od = v[:, 0], v[:, 1]
+    ev_next = jnp.concatenate([ev[1:], rt[2 * nxc : 2 * nxc + 1]], axis=0)
+    return (0.0625 * (ev + 2.0 * od + ev_next)).T  # (tc, nxc)
+
+
+def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
+    """Fused level-visit kernel body.  ``emit`` in {"u", "ur", "rc"};
+    ``correct`` adds the prolonged coarse correction before smoothing."""
+    t2 = t + 2 * h
+    th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2  # e_loc top-halo rows
+    nyc = (ny - 1) // 2
+
+    def kernel(*refs):
+        if correct:
+            (c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
+             em_ref, et_ref, eb_ref, *outs) = refs
+        else:
+            c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, *outs = refs
+
+        i = pl.program_id(0).astype(jnp.int32)
+        u = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
+        b = jnp.concatenate([bt_ref[0], b_ref[:], bb_ref[0]], axis=0)
+        # Global fine row of each slab row; phantom/ragged rows masked to 0.
+        grow = (i * jnp.int32(t) - jnp.int32(h)
+                + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        u = jnp.where(inside, u, 0.0)
+        b = jnp.where(inside, b, 0.0)
+
+        if correct:
+            # In-VMEM bilinear prolongation of the raw coarse correction:
+            # x-direction by transposed sublane interleave, y-direction by
+            # parity-split interleave.  e_loc rows cover coarse rows
+            # [i*t/2 - th, ...); main block is BlockSpec-aligned, halos
+            # host-gathered (zero-filled OOR).
+            em = em_ref[:]
+            crow = (i * jnp.int32(t // 2)
+                    + jax.lax.broadcasted_iota(jnp.int32, em.shape, 0))
+            em = jnp.where(crow < jnp.int32(nyc), em, 0.0)  # ragged pad
+            e_loc = jnp.concatenate([et_ref[0], em, eb_ref[0]], axis=0)
+            e_loc = _prolong_x_vmem(e_loc)  # (hc, nx)
+            prev, cur = e_loc[:-1], e_loc[1:]
+            if h % 2 == 0:
+                # slab starts on an even fine row: (even, odd) pairs.
+                pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
+            else:
+                # slab starts on an odd fine row: (odd, even) pairs.
+                pe = jnp.stack([prev, 0.5 * (prev + cur)], axis=1)
+            pe = pe.reshape(t2, pe.shape[-1])
+            u = jnp.where(inside, u + pe, 0.0)
+
+        cs = c_ref[0, 0]
+        cw = c_ref[0, 1]
+        cc = c_ref[0, 2]
+        ce = c_ref[0, 3]
+        cn = c_ref[0, 4]
+        dinv = 1.0 / cc
+
+        def apply_a(v):
+            south = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+            north = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+            return (cc * v + cs * south + cn * north
+                    + cw * _shift_w(v) + ce * _shift_e(v))
+
+        p = jnp.zeros_like(u)
+        for (alpha, beta) in steps:
+            z = dinv * (b - apply_a(u))
+            p = beta * p + alpha * z
+            u = jnp.where(inside, u + p, 0.0)
+        outs[0][:] = u[h : h + t]
+
+        if emit == "ur":
+            r = b - apply_a(u)
+            outs[1][:] = r[h : h + t]
+        elif emit == "rc":
+            # Full-weighting restriction of the final residual: y-direction
+            # (window rows [2c, 2c+2] global) then x in-VMEM.
+            r = b - apply_a(u)
+            v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
+            ev, od = v[:, 0], v[:, 1]
+            ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
+            outs[1][:] = _restrict_x_vmem(ev + 2.0 * od + ev_next)
+
+    return kernel
+
+
+def fused_level_visit_pallas(
+    st: Stencil5,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    steps: tuple,
+    emit: str = "u",
+    e_coarse: jnp.ndarray | None = None,
+    interpret: bool = False,
+):
+    """One fused V-cycle level visit on the hot path.
+
+    [optionally u += P e_coarse] -> k = len(steps) smoothing steps ->
+    [optionally residual r = b - A u or restricted residual R r], all in a
+    single read of (u, b) plus half-height transfer intermediates.  Returns
+    u, (u, r), or (u, rc) according to ``emit``.
+
+    Raises ValueError when the grid is too small for the halo carry —
+    callers fall back to the unfused jnp composition.
+    """
+    assert emit in ("u", "ur", "rc")
+    ny, nx = u.shape
+    k = len(steps)
+    h = k + (0 if emit == "u" else 1 if emit == "ur" else 2)
+    correct = e_coarse is not None
+    if emit == "rc" or correct:
+        if ny % 2 == 0 or nx % 2 == 0:
+            raise ValueError("transfers need odd (2n+1) grid dims")
+    t = _pick_tile(nx, u.dtype, bufs=12, cap=256)
+    if ny < t + 2 * h:
+        t = max(8, ((ny - 2 * h) // 8) * 8)
+        if t < 8 or ny < t + 2 * h:
+            raise ValueError("grid too small for fused Pallas level visit")
+    g = pl.cdiv(ny, t)
+    if g < 2:
+        raise ValueError("grid too small for fused Pallas level visit")
+    t2 = t + 2 * h
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+
+    u_top, u_bot = _halo_windows(u, t, g, h)
+    b_top, b_bot = _halo_windows(b, t, g, h)
+
+    cols = jnp.concatenate(
+        [c.reshape(1, -1) for c in _coeff_cols(st, ny, u.dtype)], axis=0
+    )  # (5, ny)
+    import numpy as np
+
+    idx = jnp.asarray(np.clip(
+        (np.arange(g) * t - h)[:, None] + np.arange(t2)[None, :], 0, ny - 1
+    ))
+    c_slabs = cols[:, idx].transpose(1, 0, 2)[..., None]  # (g, 5, t2, 1)
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, h, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [coeff, mid, halo, halo, mid, halo, halo]
+    args = [c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+
+    if correct:
+        e_c = e_coarse.astype(u.dtype)  # (nyc, nxc): raw coarse grid
+        th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
+        rows = t // 2 + h + 1
+        bh = rows - t // 2 - th
+        e_top = _gather_rows(e_c, g, t // 2, -th, th)
+        e_bot = _gather_rows(e_c, g, t // 2, t // 2, bh)
+        in_specs += [
+            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, nxc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, nxc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [e_c, e_top, e_bot]
+
+    out_specs = [mid]
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), u.dtype)]
+    if emit == "ur":
+        out_specs.append(mid)
+        out_shape.append(jax.ShapeDtypeStruct((ny, nx), u.dtype))
+    elif emit == "rc":
+        out_specs.append(
+            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nyc, nxc), u.dtype))
+
+    with _x64_scope(u.dtype):
+        out = pl.pallas_call(
+            _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct),
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+            out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+            # The kernel's in-VMEM temporaries (k unrolled sweeps over the
+            # halo-extended slab) exceed Mosaic's default 16MB scoped-vmem
+            # limit at production widths; v5e/v5p have 128MB VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(*args)
+    return out  # u, (u, r) or (u, rc) — transfers fully in-kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def residual5_pallas(
+    st: Stencil5, b: jnp.ndarray, u: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """r = b - A u fused in one kernel (the unfused form costs an extra
+    full read+write of A u around the pallas apply)."""
+    return fused_level_visit_pallas(st, b, u, steps=(), emit="ur",
+                                    interpret=interpret)[1]

@@ -50,6 +50,14 @@ class LevelCtx:
     shardings: tuple | None = None  # per-grid NamedSharding (distributed mode)
     coarse_solve: Callable | None = None  # real coarsest-level solver
     use_pallas_apply: bool = False  # fused Pallas SpMV on this level
+    # Fused V-cycle level visits (see vcycle.v_cycle):
+    #   visit_down(b, u, sweeps) -> (u', restrict_fw(b - A u'))
+    #   visit_up(b, u, e_coarse, sweeps, emit_r) ->
+    #       u'' = smooth(b, u + P e_coarse)  [, b - A u'']
+    # On Pallas-eligible levels these are single fused kernels; elsewhere
+    # they compose smooth/residual/transfer ops (identical numerics).
+    visit_down: Callable = None
+    visit_up: Callable = None
 
     def apply(self, u: State) -> State:
         from multigrid_petsc_tpu.ops.stencil import Stencil9, apply_stencil9
@@ -76,6 +84,12 @@ class LevelCtx:
         )
 
     def residual(self, b: State, u: State) -> State:
+        if self.use_pallas_apply:
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                residual5_pallas,
+            )
+
+            return (residual5_pallas(self.stencils[0], b[0], u[0]),)
         au = self.apply(u)
         return tuple(bk - ak for bk, ak in zip(b, au))
 
@@ -130,6 +144,29 @@ class MGContext:
             out = jax.lax.with_sharding_constraint(
                 out, self.levels[l].shardings[0]
             )
+        return out
+
+    # -- split transfers for the fused level visits (vcycle.v_cycle) --
+    # The first restriction/last prolongation gap rides inside the fused
+    # Pallas level-visit kernels; these helpers do the REMAINING gaps.
+    def restrict_rc1(self, l: int, rc1: jnp.ndarray) -> State:
+        """Finish restriction given rc1 = restrict_fw(r) already at one
+        gap below level l's primary grid."""
+        g0 = self.levels[l].spec.primary.g
+        nxt = self.levels[l + 1].spec
+        out = tuple(restrict_multi(rc1, g.g - g0 - 1) for g in nxt.grids)
+        return self.levels[l + 1].constrain(out)
+
+    def prolong_half(self, l: int, u_next: State) -> jnp.ndarray:
+        """Prolong level l+1's grids to ONE gap below level l's primary
+        grid and sum (the final gap is applied by visit_up; identical to
+        prolong_from_next by linearity of the bilinear stencil)."""
+        g0 = self.levels[l].spec.primary.g
+        nxt = self.levels[l + 1].spec
+        out = None
+        for g, ug in zip(nxt.grids, u_next):
+            e = prolong_multi(ug, g.g - g0 - 1)
+            out = e if out is None else out + e
         return out
 
 
@@ -259,6 +296,71 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
     return smooth
 
 
+def _build_visits(lc: LevelCtx, cfg: SolverConfig):
+    """Fused V-cycle level-visit closures (see LevelCtx docstring).
+
+    The fused Pallas path folds the residual, the first restriction gap,
+    and the last prolongation gap into the smoother's single read of
+    (u, b) — the unfused composition costs ~2x the HBM traffic per level
+    visit (residual = separate apply + subtract, correction = extra
+    write+read of u).
+    """
+    steps_fn = None
+    if lc.use_pallas_apply and not lc.spec.is_composite:
+        from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+            chebyshev_step_coeffs,
+            jacobi_step_coeffs,
+        )
+
+        if cfg.smoother == SmootherType.JACOBI:
+            steps_fn = lambda s: jacobi_step_coeffs(s, cfg.omega)
+        elif cfg.smoother == SmootherType.CHEBYSHEV:
+            lmax = lc.lmax
+            steps_fn = lambda s: chebyshev_step_coeffs(s, lmax)
+
+    if steps_fn is not None:
+        from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+            fused_level_visit_pallas,
+        )
+
+        st = lc.stencils[0]
+
+        def visit_down(b, u, sweeps, _st=st, _steps=steps_fn):
+            u0, rc1 = fused_level_visit_pallas(
+                _st, b[0], u[0], _steps(sweeps), emit="rc"
+            )
+            return (u0,), rc1
+
+        def visit_up(b, u, e_c, sweeps, emit_r=False, _st=st, _steps=steps_fn):
+            out = fused_level_visit_pallas(
+                _st, b[0], u[0], _steps(sweeps),
+                emit="ur" if emit_r else "u", e_coarse=e_c,
+            )
+            if emit_r:
+                return (out[0],), (out[1],)
+            return (out,)
+
+        return visit_down, visit_up
+
+    from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
+
+    def visit_down(b, u, sweeps, _lc=lc):
+        u = _lc.smooth(b, u, sweeps)
+        r = _lc.residual(b, u)
+        return u, restrict_fw(r[0])
+
+    def visit_up(b, u, e_c, sweeps, emit_r=False, _lc=lc):
+        u0 = u[0] + prolong_bilinear(e_c)
+        if _lc.shardings is not None:
+            u0 = jax.lax.with_sharding_constraint(u0, _lc.shardings[0])
+        u = _lc.smooth(b, (u0,) + u[1:], sweeps)
+        if emit_r:
+            return u, _lc.residual(b, u)
+        return u
+
+    return visit_down, visit_up
+
+
 def build_context(
     cfg: SolverConfig,
     problem: Problem | None = None,
@@ -318,6 +420,7 @@ def build_context(
     for lc in levels:
         lc.use_pallas_apply = _use_pallas(lc, cfg)
         lc.smooth = _build_smoother(lc, cfg)
+        lc.visit_down, lc.visit_up = _build_visits(lc, cfg)
 
     # Real coarsest-level solver (see solvers/coarse.py): only when the
     # hierarchy actually has a coarse level (levels >= 2); the one-level

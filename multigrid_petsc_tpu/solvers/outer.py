@@ -40,7 +40,11 @@ def outer_iterate(
     rtol: float,
     divtol: float,
     hist_len: int | None = None,
+    step_emits_residual: bool = False,
 ) -> OuterResult:
+    """``step_emits_residual``: the step returns (u, r) with r = b - A u
+    already computed (free inside the fused Pallas post-smoother), so the
+    convergence norm costs no extra operator application."""
     hist_len = max_iter if hist_len is None else min(hist_len, max_iter)
     bnorm = tree_norm2(b)
     r0 = residual(b, u0)
@@ -53,8 +57,12 @@ def outer_iterate(
 
     def body(carry):
         u, i, rn, hist = carry
-        u = step(b, u)
-        rn = tree_norm2(residual(b, u))
+        if step_emits_residual:
+            u, r = step(b, u)
+            rn = tree_norm2(r)
+        else:
+            u = step(b, u)
+            rn = tree_norm2(residual(b, u))
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, i + 1, rn, hist)
 

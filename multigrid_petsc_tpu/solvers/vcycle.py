@@ -22,25 +22,39 @@ from multigrid_petsc_tpu.solvers.context import MGContext, State
 from multigrid_petsc_tpu.solvers.outer import OuterResult, outer_iterate
 
 
-def v_cycle(ctx: MGContext, b0: State, u0: State, v0: int, v1: int) -> State:
-    """One V-cycle starting/ending on level 0."""
+def v_cycle(
+    ctx: MGContext, b0: State, u0: State, v0: int, v1: int,
+    emit_r: bool = False,
+):
+    """One V-cycle starting/ending on level 0.
+
+    With ``emit_r`` the level-0 post-smoother also returns the final
+    residual b - A u (free inside the fused Pallas visit; one extra apply
+    otherwise) so the outer loop's convergence norm costs no extra pass.
+
+    Each level visit runs through LevelCtx.visit_down / visit_up: on
+    Pallas-eligible levels those are single fused kernels folding
+    residual + first restriction gap (down) and last prolongation gap +
+    correction (up) into the smoother's read of (u, b).
+    """
     L = len(ctx.levels)
     dtype = b0[0].dtype
 
-    def cycle(l: int, b: State, u: State) -> State:
+    def cycle(l: int, b: State, u: State, emit: bool):
         lvl = ctx.levels[l]
         if l == L - 1:
             if L > 1 and lvl.coarse_solve is not None:
-                return lvl.constrain(lvl.coarse_solve(b))
-            return lvl.smooth(b, u, v1 if L > 1 else v0)
-        u = lvl.smooth(b, u, v0)
-        r = lvl.residual(b, u)
-        b_next = ctx.restrict_to_next(l, r[0])
-        u_next = cycle(l + 1, b_next, ctx.levels[l + 1].zeros(dtype))
-        u = (u[0] + ctx.prolong_from_next(l, u_next),) + u[1:]
-        return lvl.smooth(b, u, v0)
+                u = lvl.constrain(lvl.coarse_solve(b))
+            else:
+                u = lvl.smooth(b, u, v1 if L > 1 else v0)
+            return (u, lvl.residual(b, u)) if emit else u
+        u, rc1 = lvl.visit_down(b, u, v0)
+        b_next = ctx.restrict_rc1(l, rc1)
+        u_next = cycle(l + 1, b_next, ctx.levels[l + 1].zeros(dtype), False)
+        e_c = ctx.prolong_half(l, u_next)
+        return lvl.visit_up(b, u, e_c, v0, emit)
 
-    return cycle(0, b0, u0)
+    return cycle(0, b0, u0, emit_r)
 
 
 def mg_apply(ctx: MGContext, r: State, v0: int, v1: int) -> State:
@@ -56,7 +70,7 @@ def solve_vcycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     v0, v1 = cfg.v
 
     def step(b, u):
-        return v_cycle(ctx, b, u, v0, v1)
+        return v_cycle(ctx, b, u, v0, v1, emit_r=True)
 
     u0 = ctx.levels[0].zeros(ctx.dtype)
     return outer_iterate(
@@ -68,6 +82,7 @@ def solve_vcycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
         cfg.rtol,
         cfg.divtol,
         cfg.hist_len,
+        step_emits_residual=True,
     )
 
 
@@ -148,6 +163,12 @@ class _TruncatedCtx:
     def prolong_from_next(self, l, u_next):
         return self._ctx.prolong_from_next(self._start + l, u_next)
 
+    def restrict_rc1(self, l, rc1):
+        return self._ctx.restrict_rc1(self._start + l, rc1)
+
+    def prolong_half(self, l, u_next):
+        return self._ctx.prolong_half(self._start + l, u_next)
+
 
 def solve_fmg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """FMG start followed by standard V-cycle iteration to tolerance."""
@@ -155,10 +176,11 @@ def solve_fmg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     v0, v1 = cfg.v
 
     def step(b, u):
-        return v_cycle(ctx, b, u, v0, v1)
+        return v_cycle(ctx, b, u, v0, v1, emit_r=True)
 
     u0 = fmg_initial_guess(ctx, b0)
     return outer_iterate(
         step, ctx.levels[0].residual, ctx.b0 if b0 is None else b0, u0,
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
+        step_emits_residual=True,
     )

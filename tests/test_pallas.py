@@ -76,3 +76,115 @@ def test_fused_chebyshev_matches(shape, sweeps):
     got = chebyshev_sweeps_pallas(st, b, u, sweeps, lmax, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Fused V-cycle level visits (correct -> smooth -> residual -> restrict).
+# ---------------------------------------------------------------------------
+
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (  # noqa: E402
+    fused_level_visit_pallas,
+    jacobi_step_coeffs,
+    residual5_pallas,
+)
+from multigrid_petsc_tpu.ops.stencil import residual  # noqa: E402
+from multigrid_petsc_tpu.ops.transfer import (  # noqa: E402
+    prolong_bilinear,
+    restrict_fw,
+)
+
+
+@pytest.mark.parametrize("shape", CASES)
+def test_residual_fused_matches(shape):
+    ny, nx = shape
+    st = stencil_coefficients(MeshType.NONUNIFORM1, ny, nx)
+    rng = np.random.default_rng(ny + nx)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    ref = residual(st, b, u)
+    got = residual5_pallas(st, b, u, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (127, 63), (257, 129)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+def test_visit_down_matches(shape, sweeps):
+    """emit='rc': smoothed u AND restrict_fw(b - A u) in one kernel."""
+    ny, nx = shape
+    st = stencil_coefficients(MeshType.NONUNIFORM2, ny, nx)
+    rng = np.random.default_rng(ny + sweeps)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    steps = jacobi_step_coeffs(sweeps, 0.8)
+    u_ref = jacobi_sweeps(st, b, u, sweeps, 0.8)
+    rc_ref = restrict_fw(residual(st, b, u_ref))
+    u_got, rc_got = fused_level_visit_pallas(st, b, u, steps, emit="rc",
+                                             interpret=True)
+    # Last-bit reassociation (omega*(x/cc) vs (omega/cc)*x) scales with the
+    # O(n^2) stencil magnitude; compare relative to the array scale.
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rc_got), np.asarray(rc_ref),
+                               rtol=1e-12,
+                               atol=1e-12 * float(np.abs(rc_ref).max()))
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (127, 63), (257, 129)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+@pytest.mark.parametrize("emit_r", [False, True])
+def test_visit_up_matches(shape, sweeps, emit_r):
+    """Correction input: u + P e fused before the sweeps (and optionally
+    the post-smooth residual out)."""
+    ny, nx = shape
+    st = stencil_coefficients(MeshType.UNIFORM, ny, nx)
+    rng = np.random.default_rng(nx + sweeps + emit_r)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    steps = jacobi_step_coeffs(sweeps, 0.8)
+    u_corr = u + prolong_bilinear(e)
+    u_ref = jacobi_sweeps(st, b, u_corr, sweeps, 0.8)
+    out = fused_level_visit_pallas(
+        st, b, u, steps, emit="ur" if emit_r else "u", e_coarse=e,
+        interpret=True,
+    )
+    if emit_r:
+        u_got, r_got = out
+        r_ref = residual(st, b, u_ref)
+        np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                                   rtol=1e-12,
+                                   atol=1e-12 * float(np.abs(r_ref).max()))
+    else:
+        u_got = out
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+
+
+@pytest.mark.parametrize("sweeps", [2, 4])
+def test_visit_chebyshev_matches(sweeps):
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        chebyshev_step_coeffs,
+    )
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+    from multigrid_petsc_tpu.solvers.smoothers import chebyshev
+
+    ny, nx = 127, 63
+    st = stencil_coefficients(MeshType.NONUNIFORM1, ny, nx)
+    rng = np.random.default_rng(sweeps)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    lmax = 1.9
+    steps = chebyshev_step_coeffs(sweeps, lmax)
+    u_corr = u + prolong_bilinear(e)
+    u_ref = chebyshev(lambda s: (apply_stencil5(st, s[0]),), (1.0 / st.cc,),
+                      (b,), (u_corr,), sweeps, lmax)[0]
+    rc_ref = restrict_fw(residual(st, b, u_ref))
+    u_got, rc_got = fused_level_visit_pallas(st, b, u, steps, emit="rc",
+                                             e_coarse=e, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rc_got), np.asarray(rc_ref),
+                               rtol=1e-12,
+                               atol=1e-12 * float(np.abs(rc_ref).max()))

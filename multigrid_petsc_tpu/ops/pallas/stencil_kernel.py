@@ -342,6 +342,80 @@ def chebyshev_sweeps_pallas(
 
 
 # --------------------------------------------------------------------------
+# Full-field coefficient apply: y = A u with (ny, nx) coefficient ARRAYS
+# (fully variable coefficients / the explicit banded-matrix backend in
+# stencil form).  Coefficients multiply the center row's neighbors, so
+# they need no halo — 5 plain pipelined blocks alongside u.
+# --------------------------------------------------------------------------
+
+
+def _make_field_apply_kernel(g, t, ny, with_b):
+    tl = ny - (g - 1) * t
+
+    def kernel(*refs):
+        if with_b:
+            cs_r, cw_r, cc_r, ce_r, cn_r, b_r, u_r, top_r, bot_r, out_r = refs
+        else:
+            cs_r, cw_r, cc_r, ce_r, cn_r, u_r, top_r, bot_r = refs[:-1]
+            out_r = refs[-1]
+        i = pl.program_id(0).astype(jnp.int32)
+        u = u_r[:]
+        if tl != t:
+            rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+            u = jnp.where(
+                (i < jnp.int32(g - 1)) | (rows < jnp.int32(tl)), u, 0.0
+            )
+        south = jnp.concatenate([top_r[0], u[:-1]], axis=0)
+        north = jnp.concatenate([u[1:], bot_r[0]], axis=0)
+        au = (
+            cc_r[:] * u
+            + cs_r[:] * south
+            + cn_r[:] * north
+            + cw_r[:] * _shift_w(u)
+            + ce_r[:] * _shift_e(u)
+        )
+        out_r[:] = (b_r[:] - au) if with_b else au
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_stencil5_field_pallas(
+    st: Stencil5, u: jnp.ndarray, b: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = A u (or b - A u when ``b`` is given) with full (ny, nx)
+    coefficient fields — the Pallas explicit-SpMV path for banded level
+    matrices in stencil form (ops/sparse.py): one read of (coeffs, u)
+    + one write, no gathers, no lane rotations."""
+    ny, nx = u.shape
+    with_b = b is not None
+    t = _pick_tile(nx, u.dtype, bufs=16 + 2 * with_b)
+    g = pl.cdiv(ny, t)
+    tops, bots = _halo_rows(u, t, g)
+    tops = tops.reshape(g, 1, nx)
+    bots = bots.reshape(g, 1, nx)
+    coeffs = [jnp.broadcast_to(c, (ny, nx)).astype(u.dtype) for c in st]
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, 1, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    args = coeffs + ([b] if with_b else []) + [u, tops, bots]
+    with _x64_scope(u.dtype):
+        return pl.pallas_call(
+            _make_field_apply_kernel(g, t, ny, with_b),
+            grid=(g,),
+            in_specs=[mid] * (5 + with_b) + [mid, halo, halo],
+            out_specs=mid,
+            out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(*args)
+
+
+# --------------------------------------------------------------------------
 # V-cycle mega-kernels: correct -> smooth -> residual -> restrict fused.
 #
 # A textbook V-cycle level visit spends most of its HBM passes AROUND the

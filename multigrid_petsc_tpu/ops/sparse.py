@@ -106,10 +106,17 @@ def ell_spmv(vals: jnp.ndarray, cols: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarra
 
 
 class SparseLevelOp:
-    """Explicit operator over a flattened level state."""
+    """Explicit operator over a flattened level state.
+
+    Storage selection: banded matrices (all 1-grid-per-level operators)
+    use DIA + the Pallas shifted-multiply SpMV kernel on TPU
+    (ops/pallas/spmv_dia.py — no gathers, HBM speed-of-light); irregular
+    composite-coupling matrices keep ELL + gather.
+    """
 
     def __init__(self, npts, mesh_type, gids, dtype=np.float64,
-                 include_diag=True, include_couplings=True):
+                 include_diag=True, include_couplings=True,
+                 backend: str = "auto"):
         self.gids = tuple(gids)
         self.shapes = [
             ((npts - 1) // 2**g - 1, (npts - 1) // 2**g - 1) for g in gids
@@ -118,6 +125,34 @@ class SparseLevelOp:
                                  include_diag, include_couplings)
         self.nnz = len(csr[1])
         self.vals, self.cols = csr_to_ell(*csr, dtype=dtype)
+        self.dia = None
+        self.stencil_form = None  # Stencil5 of (ny, nx) fields
+        if backend in ("auto", "dia"):
+            from multigrid_petsc_tpu.ops.pallas.spmv_dia import dia_from_csr
+
+            try:
+                offs, dvals = dia_from_csr(*csr)
+                self.dia = (offs, jnp.asarray(dvals, dtype))
+            except ValueError:
+                if backend == "dia":
+                    raise
+        if self.dia is not None and len(self.gids) == 1:
+            # Grid-patterned diagonals {0, +-1, +-nx} ARE a 2-D stencil
+            # with full coefficient fields: the fast Pallas explicit path
+            # (shifts, no lane rotations; see stencil_kernel.
+            # apply_stencil5_field_pallas).
+            from multigrid_petsc_tpu.ops.stencil import Stencil5
+
+            ny, nx = self.shapes[0]
+            offs, dvals = self.dia
+            pattern = {-nx: "cs", -1: "cw", 0: "cc", 1: "ce", nx: "cn"}
+            if set(offs) <= set(pattern):
+                fields = {
+                    name: jnp.zeros((ny, nx), dtype) for name in pattern.values()
+                }
+                for d, row in zip(offs, dvals):
+                    fields[pattern[d]] = row.reshape(ny, nx)
+                self.stencil_form = Stencil5(**fields)
 
     def flatten(self, state):
         return jnp.concatenate([x.ravel() for x in state])
@@ -129,5 +164,36 @@ class SparseLevelOp:
             off += ny * nx
         return tuple(out)
 
-    def apply(self, state):
-        return self.unflatten(ell_spmv(self.vals, self.cols, self.flatten(state)))
+    def apply(self, state, force_dia: bool = False):
+        """y = A x.  On TPU banded 32-bit operators run Pallas kernels —
+        the stencil-form field kernel when the diagonals match the grid
+        pattern (fast path), the general DIA kernel otherwise; elsewhere
+        (f64, irregular matrices, CPU) the ELL gather path.  Mosaic
+        silently demotes f64 math, so compiled kernels are gated to
+        itemsize < 8 (same rule as stencil_kernel._x64_scope); f64 on TPU
+        keeps XLA's exact emulated-f64 gather.  ``force_dia`` runs the
+        Pallas path in interpreter mode off-TPU (kernel tests).
+        """
+        on_tpu = (jax.devices()[0].platform == "tpu"
+                  and jnp.dtype(self.vals.dtype).itemsize < 8)
+        if not (on_tpu or force_dia) or self.dia is None:
+            return self.unflatten(
+                ell_spmv(self.vals, self.cols, self.flatten(state))
+            )
+        if self.stencil_form is not None:
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                apply_stencil5_field_pallas,
+            )
+
+            return (
+                apply_stencil5_field_pallas(
+                    self.stencil_form, state[0], interpret=not on_tpu
+                ),
+            )
+        from multigrid_petsc_tpu.ops.pallas.spmv_dia import dia_spmv_pallas
+
+        offs, dvals = self.dia
+        return self.unflatten(
+            dia_spmv_pallas(offs, dvals, self.flatten(state),
+                            interpret=not on_tpu)
+        )

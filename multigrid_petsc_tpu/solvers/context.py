@@ -64,6 +64,12 @@ class LevelCtx:
 
         if isinstance(self.stencils[0], Stencil9):
             # 9-point path (anisotropic family): single grid per level.
+            if self.use_pallas_apply:
+                from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+                    apply_stencil9_pallas,
+                )
+
+                return (apply_stencil9_pallas(self.stencils[0], u[0]),)
             return (apply_stencil9(self.stencils[0], u[0]),)
         if self.use_pallas_apply:
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
@@ -85,6 +91,14 @@ class LevelCtx:
 
     def residual(self, b: State, u: State) -> State:
         if self.use_pallas_apply:
+            from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+            if isinstance(self.stencils[0], Stencil9):
+                from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+                    residual9_pallas,
+                )
+
+                return (residual9_pallas(self.stencils[0], b[0], u[0]),)
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
                 residual5_pallas,
             )
@@ -179,17 +193,17 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
         return False  # GSPMD path handles distribution; Pallas+shard_map later
     if ctx.spec.is_composite:
         return False
-    from multigrid_petsc_tpu.ops.stencil import Stencil9
-
-    if isinstance(ctx.stencils[0], Stencil9):
-        return False  # 9-point Pallas kernel not implemented yet
     g = ctx.spec.primary
     if g.ny < 256 or g.nx < 256:
         return False
     if cfg.backend == "pallas":
         return True
     try:
-        return jax.devices()[0].platform == "tpu"
+        # Compiled Mosaic kernels silently demote f64 math — 64-bit runs
+        # keep the exact XLA path (use dtype=float32 [+ outer_dtype=
+        # float64 mixed precision] for the fast path on TPU).
+        return (jax.devices()[0].platform == "tpu"
+                and jnp.dtype(ctx.dinv[0].dtype).itemsize < 8)
     except Exception:  # pragma: no cover
         return False
 
@@ -208,6 +222,25 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
             )
     elif kind == SmootherType.JACOBI:
         if _use_pallas(ctx, cfg):
+            from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+            if isinstance(ctx.stencils[0], Stencil9):
+                from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+                    smooth9_sweeps_pallas,
+                )
+                from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                    jacobi_step_coeffs,
+                )
+
+                def smooth(b, u, sweeps, _ctx=ctx):
+                    return (
+                        smooth9_sweeps_pallas(
+                            _ctx.stencils[0], b[0], u[0],
+                            jacobi_step_coeffs(sweeps, cfg.omega),
+                        ),
+                    )
+
+                return smooth
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
                 jacobi_sweeps_pallas,
             )
@@ -233,6 +266,25 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
         ctx.lmax = lmax
 
         if _use_pallas(ctx, cfg):
+            from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+            if isinstance(ctx.stencils[0], Stencil9):
+                from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+                    smooth9_sweeps_pallas,
+                )
+                from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                    chebyshev_step_coeffs,
+                )
+
+                def smooth(b, u, sweeps, _ctx=ctx, _lmax=lmax):
+                    return (
+                        smooth9_sweeps_pallas(
+                            _ctx.stencils[0], b[0], u[0],
+                            chebyshev_step_coeffs(sweeps, _lmax),
+                        ),
+                    )
+
+                return smooth
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
                 chebyshev_sweeps_pallas,
             )
@@ -306,7 +358,11 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
     write+read of u).
     """
     steps_fn = None
-    if lc.use_pallas_apply and not lc.spec.is_composite:
+    # Fused visits (smooth+residual+transfer in one kernel) exist for the
+    # 5-point family only; 9-point levels compose the (still-Pallas)
+    # smooth/apply kernels with jnp transfers below.
+    if (lc.use_pallas_apply and not lc.spec.is_composite
+            and isinstance(lc.stencils[0], Stencil5)):
         from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
             chebyshev_step_coeffs,
             jacobi_step_coeffs,

@@ -188,3 +188,109 @@ def test_visit_chebyshev_matches(sweeps):
     np.testing.assert_allclose(np.asarray(rc_got), np.asarray(rc_ref),
                                rtol=1e-12,
                                atol=1e-12 * float(np.abs(rc_ref).max()))
+
+
+# ---------------------------------------------------------------------------
+# 9-point kernels (anisotropic family; ops/pallas/stencil9_kernel.py).
+# ---------------------------------------------------------------------------
+
+
+def _aniso_st9(ny, nx):
+    from multigrid_petsc_tpu.problems import AnisoProblem, stencil9_coefficients
+
+    return stencil9_coefficients(AnisoProblem(1.0, 0.5, 100.0), ny, nx)
+
+
+def _rand_st9(ny, nx, seed):
+    """Fully-variable 9-point stencil: all coefficients (ny, nx) fields,
+    diagonally-dominant center (invertible for the smoother)."""
+    from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+    rng = np.random.default_rng(seed)
+    offs = [jnp.asarray(rng.standard_normal((ny, nx))) for _ in range(8)]
+    cc = -(8.0 + jnp.asarray(rng.random((ny, nx))) * 4.0)
+    c = iter(offs)
+    return Stencil9(csw=next(c), cs=next(c), cse=next(c), cw=next(c),
+                    cc=cc, ce=next(c), cnw=next(c), cn=next(c), cne=next(c))
+
+
+def _ref_smooth9(st, b, u, steps):
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+
+    dinv = 1.0 / jnp.broadcast_to(st.cc, u.shape)
+    p = jnp.zeros_like(u)
+    for (alpha, beta) in steps:
+        z = dinv * (b - apply_stencil9(st, u))
+        p = beta * p + alpha * z
+        u = u + p
+    return u
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (100, 63), (127, 31)])
+@pytest.mark.parametrize("make_st", [_aniso_st9, _rand_st9])
+def test_apply9_matches(shape, make_st):
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        apply_stencil9_pallas,
+    )
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+
+    ny, nx = shape
+    st = make_st(ny, nx) if make_st is _aniso_st9 else make_st(ny, nx, ny)
+    rng = np.random.default_rng(ny + nx)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    ref = apply_stencil9(st, u)
+    got = apply_stencil9_pallas(st, u, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-9)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (100, 63)])
+def test_residual9_matches(shape):
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import residual9_pallas
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+
+    ny, nx = shape
+    st = _aniso_st9(ny, nx)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    ref = b - apply_stencil9(st, u)
+    got = residual9_pallas(st, b, u, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-9)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (100, 63), (127, 31)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+@pytest.mark.parametrize("kind", ["jacobi", "chebyshev"])
+def test_smooth9_matches(shape, sweeps, kind):
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        smooth9_sweeps_pallas,
+    )
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        chebyshev_step_coeffs,
+        jacobi_step_coeffs,
+    )
+
+    ny, nx = shape
+    st = _aniso_st9(ny, nx) if kind == "jacobi" else _rand_st9(ny, nx, 3)
+    steps = (jacobi_step_coeffs(sweeps, 0.8) if kind == "jacobi"
+             else chebyshev_step_coeffs(sweeps, 1.9))
+    rng = np.random.default_rng(ny + sweeps)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    ref = _ref_smooth9(st, b, u, steps)
+    got = smooth9_sweeps_pallas(st, b, u, steps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_smooth9_too_small_raises():
+    st = _aniso_st9(7, 7)
+    u = jnp.zeros((7, 7))
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        smooth9_sweeps_pallas,
+    )
+
+    with pytest.raises(ValueError):
+        smooth9_sweeps_pallas(st, u, u, ((0.8, 0.0),) * 3, interpret=True)

@@ -485,7 +485,8 @@ def _restrict_x_vmem(ry: jnp.ndarray) -> jnp.ndarray:
 
 
 def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
-    """Fused level-visit kernel body.  ``emit`` in {"u", "ur", "rc"};
+    """Fused level-visit kernel body.  ``emit`` in {"u", "ur", "r", "rc"}
+    ("r" = residual only, no u output — the standalone-residual case);
     ``correct`` adds the prolonged coarse correction before smoothing."""
     t2 = t + 2 * h
     th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2  # e_loc top-halo rows
@@ -548,6 +549,11 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             z = dinv * (b - apply_a(u))
             p = beta * p + alpha * z
             u = jnp.where(inside, u + p, 0.0)
+        if emit == "r":
+            # Residual only: skipping the u write saves one full HBM pass
+            # (the standalone-residual case, LevelCtx.residual).
+            outs[0][:] = (b - apply_a(u))[h : h + t]
+            return
         outs[0][:] = u[h : h + t]
 
         if emit == "ur":
@@ -579,15 +585,17 @@ def fused_level_visit_pallas(
     [optionally u += P e_coarse] -> k = len(steps) smoothing steps ->
     [optionally residual r = b - A u or restricted residual R r], all in a
     single read of (u, b) plus half-height transfer intermediates.  Returns
-    u, (u, r), or (u, rc) according to ``emit``.
+    u, (u, r), r alone, or (u, rc) according to ``emit`` ("r" skips the u
+    output entirely — one fewer HBM write for standalone residuals).
 
     Raises ValueError when the grid is too small for the halo carry —
-    callers fall back to the unfused jnp composition.
+    callers fall back to the unfused jnp composition (see
+    ``fused_visit_viable`` for the pre-check).
     """
-    assert emit in ("u", "ur", "rc")
+    assert emit in ("u", "ur", "r", "rc")
     ny, nx = u.shape
     k = len(steps)
-    h = k + (0 if emit == "u" else 1 if emit == "ur" else 2)
+    h = k + (0 if emit == "u" else 1 if emit in ("ur", "r") else 2)
     correct = e_coarse is not None
     if emit == "rc" or correct:
         if ny % 2 == 0 or nx % 2 == 0:
@@ -642,7 +650,7 @@ def fused_level_visit_pallas(
         args += [e_c, e_top, e_bot]
 
     out_specs = [mid]
-    out_shape = [jax.ShapeDtypeStruct((ny, nx), u.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), u.dtype)]  # u (or r for "r")
     if emit == "ur":
         out_specs.append(mid)
         out_shape.append(jax.ShapeDtypeStruct((ny, nx), u.dtype))
@@ -671,11 +679,20 @@ def fused_level_visit_pallas(
     return out  # u, (u, r) or (u, rc) — transfers fully in-kernel
 
 
+def fused_visit_viable(ny: int, sweeps: int, emit: str = "rc") -> bool:
+    """True when ``fused_level_visit_pallas``/``smooth_sweeps_pallas`` can
+    carry the halo on a grid of ``ny`` rows (the exact complement of their
+    ValueError conditions) — callers pre-check this and keep the unfused
+    jnp composition otherwise."""
+    h = sweeps + {"u": 0, "ur": 1, "r": 1, "rc": 2}[emit]
+    return ny >= 16 + 2 * h
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def residual5_pallas(
     st: Stencil5, b: jnp.ndarray, u: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
-    """r = b - A u fused in one kernel (the unfused form costs an extra
-    full read+write of A u around the pallas apply)."""
-    return fused_level_visit_pallas(st, b, u, steps=(), emit="ur",
-                                    interpret=interpret)[1]
+    """r = b - A u fused in one kernel: one read of (u, b), ONE write of r
+    (emit="r" skips materializing the untouched u)."""
+    return fused_level_visit_pallas(st, b, u, steps=(), emit="r",
+                                    interpret=interpret)

@@ -148,11 +148,24 @@ class SparseLevelOp:
             pattern = {-nx: "cs", -1: "cw", 0: "cc", 1: "ce", nx: "cn"}
             if set(offs) <= set(pattern):
                 fields = {
-                    name: jnp.zeros((ny, nx), dtype) for name in pattern.values()
+                    name: np.zeros((ny, nx), dtype) for name in pattern.values()
                 }
                 for d, row in zip(offs, dvals):
-                    fields[pattern[d]] = row.reshape(ny, nx)
-                self.stencil_form = Stencil5(**fields)
+                    fields[pattern[d]] = np.asarray(row).reshape(ny, nx)
+                # The stencil kernel's zero-edge column shifts drop any
+                # flat +-1 entry that wraps across a grid-row boundary
+                # (column j=nx-1 -> next row's j=0); such entries cannot
+                # arise from the 5-point Dirichlet assembly, but nothing
+                # upstream enforces that — verify the wrap positions are
+                # empty and keep the general DIA kernel otherwise.
+                no_wrap = (
+                    not fields["ce"][:, -1:].any()
+                    and not fields["cw"][:, :1].any()
+                )
+                if no_wrap:
+                    self.stencil_form = Stencil5(
+                        **{k: jnp.asarray(v) for k, v in fields.items()}
+                    )
 
     def flatten(self, state):
         return jnp.concatenate([x.ravel() for x in state])

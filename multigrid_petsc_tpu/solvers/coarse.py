@@ -37,26 +37,64 @@ def _unflatten(vec, shapes):
     return tuple(out)
 
 
-def build_direct_solver(apply_fn: Callable, shapes, dtype) -> Callable:
-    """Probe A column-by-column, invert once on host, return b -> A^-1 b.
+def dense_from_stencil(st, ny: int, nx: int):
+    """Dense (N, N) matrix of a (possibly 9-point) stencil operator with
+    eliminated Dirichlet boundary, assembled analytically on host —
+    replaces O(N) probing matvecs at setup and doesn't cap how big an
+    agglomerated coarse level can be (reference analogue: the per-row
+    fill of src/solver.c:185-253, restricted to the coarsest level)."""
+    import numpy as np
 
-    The inversion happens on host in f64 at setup (LAPACK; TPU XLA has no
-    f64 LU, and a one-time host factorization is the right place for it —
-    the analogue of the reference's assembly step).  The per-cycle
-    application is a single dense (N, N) matvec — MXU work on TPU.
+    N = ny * nx
+    a = np.zeros((N, N))
+    ii, jj = np.mgrid[0:ny, 0:nx]
+    rows = (ii * nx + jj).ravel()
+
+    def bcast(c):
+        return np.broadcast_to(np.asarray(c, np.float64), (ny, nx)).ravel()
+
+    # (name, dy, dx) neighbor table; Stencil5 lacks the corner fields.
+    offsets = [("cc", 0, 0), ("cs", -1, 0), ("cn", 1, 0),
+               ("cw", 0, -1), ("ce", 0, 1), ("csw", -1, -1),
+               ("cse", -1, 1), ("cnw", 1, -1), ("cne", 1, 1)]
+    for name, dy, dx in offsets:
+        if not hasattr(st, name):
+            continue
+        i2, j2 = ii + dy, jj + dx
+        ok = ((i2 >= 0) & (i2 < ny) & (j2 >= 0) & (j2 < nx)).ravel()
+        cols = (i2 * nx + j2).ravel()
+        a[rows[ok], cols[ok]] = bcast(getattr(st, name))[ok]
+    return a
+
+
+def build_direct_solver(
+    apply_fn: Callable, shapes, dtype, stencils=None
+) -> Callable:
+    """Build A once, invert on host, return b -> A^-1 b.
+
+    Non-composite levels (``stencils`` given, one grid) assemble A
+    analytically from the stencil coefficients; composite levels probe the
+    matrix-free apply column-by-column (the couplings have no closed dense
+    form here).  The inversion happens on host in f64 at setup (LAPACK;
+    TPU XLA has no f64 LU, and a one-time host factorization is the right
+    place for it — the analogue of the reference's assembly step).  The
+    per-cycle application is a single dense (N, N) matvec — MXU work on
+    TPU.
     """
     import numpy as np
 
     N = sum(ny * nx for ny, nx in shapes)
 
-    def mv(xflat):
-        return _flatten(apply_fn(_unflatten(xflat, shapes)))
+    if stencils is not None and len(shapes) == 1:
+        a = dense_from_stencil(stencils[0], *shapes[0])
+    else:
+        def mv(xflat):
+            return _flatten(apply_fn(_unflatten(xflat, shapes)))
 
-    # vmap over identity rows: row k of the result is A e_k = column k of A.
-    at = jax.vmap(mv)(jnp.eye(N, dtype=dtype))
-    a_inv = jnp.asarray(
-        np.linalg.inv(np.asarray(at, dtype=np.float64).T), dtype=dtype
-    )
+        # vmap over identity rows: row k of the result is A e_k = col k.
+        at = jax.vmap(mv)(jnp.eye(N, dtype=dtype))
+        a = np.asarray(at, dtype=np.float64).T
+    a_inv = jnp.asarray(np.linalg.inv(a), dtype=dtype)
 
     def solve(b_state):
         x = a_inv @ _flatten(b_state)

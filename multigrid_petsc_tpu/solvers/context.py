@@ -197,6 +197,16 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
     if g.ny < 256 or g.nx < 256:
         return False
     if cfg.backend == "pallas":
+        if jnp.dtype(ctx.dinv[0].dtype).itemsize >= 8:
+            # Compiled Mosaic kernels silently demote f64 math; forcing
+            # the pallas backend on a 64-bit level would quietly lose the
+            # precision the dtype asked for.
+            raise ValueError(
+                "backend='pallas' with a 64-bit level dtype would silently "
+                "demote f64 math in compiled Mosaic kernels; use "
+                "dtype='float32' (+ outer_dtype='float64' for mixed "
+                "precision) or backend='auto'/'xla'"
+            )
         return True
     try:
         # Compiled Mosaic kernels silently demote f64 math — 64-bit runs
@@ -209,7 +219,19 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
 
 
 def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        fused_visit_viable,
+    )
+
     kind = cfg.smoother
+    # Fused k-sweep smoother kernels need a k-row halo carry; pre-check so
+    # huge sweep counts fall back to the jnp smoothers instead of raising
+    # at trace time (the smoothers' documented ValueError condition).
+    def _pallas_smoother_ok():
+        return _use_pallas(ctx, cfg) and fused_visit_viable(
+            ctx.spec.primary.ny, max(cfg.v), "u"
+        )
+
     if ctx.spec.is_composite and cfg.composite_smoother == "block_gs":
         # Composite levels default to grid-ordered block Gauss-Seidel: the
         # coupling blocks break diagonal dominance, so point smoothers on
@@ -221,7 +243,7 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
                 inner=cfg.v[0], omega=cfg.omega,
             )
     elif kind == SmootherType.JACOBI:
-        if _use_pallas(ctx, cfg):
+        if _pallas_smoother_ok():
             from multigrid_petsc_tpu.ops.stencil import Stencil9
 
             if isinstance(ctx.stencils[0], Stencil9):
@@ -265,7 +287,7 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
         )
         ctx.lmax = lmax
 
-        if _use_pallas(ctx, cfg):
+        if _pallas_smoother_ok():
             from multigrid_petsc_tpu.ops.stencil import Stencil9
 
             if isinstance(ctx.stencils[0], Stencil9):
@@ -357,12 +379,19 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
     visit (residual = separate apply + subtract, correction = extra
     write+read of u).
     """
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        fused_visit_viable,
+    )
+
     steps_fn = None
     # Fused visits (smooth+residual+transfer in one kernel) exist for the
     # 5-point family only; 9-point levels compose the (still-Pallas)
-    # smooth/apply kernels with jnp transfers below.
+    # smooth/apply kernels with jnp transfers below.  The viability
+    # pre-check covers the halo-carry ValueError the kernels would raise at
+    # trace time for very large sweep counts (ny < 16 + 2h).
     if (lc.use_pallas_apply and not lc.spec.is_composite
-            and isinstance(lc.stencils[0], Stencil5)):
+            and isinstance(lc.stencils[0], Stencil5)
+            and fused_visit_viable(lc.spec.primary.ny, max(cfg.v), "rc")):
         from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
             chebyshev_step_coeffs,
             jacobi_step_coeffs,
@@ -492,7 +521,8 @@ def build_context(
             mode = "direct" if n_unknowns <= cfg.max_direct_size else "cg"
         if mode == "direct":
             last.coarse_solve = coarse_mod.build_direct_solver(
-                last.apply, shapes, dtype
+                last.apply, shapes, dtype,
+                stencils=None if last.spec.is_composite else last.stencils,
             )
         elif mode == "cg":
             last.coarse_solve = coarse_mod.build_cg_solver(

@@ -31,6 +31,7 @@ class SolveResult:
     cpu_time: float
     ctx: MGContext
     aux: dict | None = None  # moreNorm monitor arrays etc.
+    phases: dict | None = None  # per-phase wall seconds (compile/solve)
 
     @property
     def u_fine(self) -> np.ndarray:
@@ -84,11 +85,18 @@ def solve(
     ctx: MGContext | None = None,
     plan=None,
     u0=None,
+    timed: bool = False,
 ) -> SolveResult:
     """Set up (unless given a prebuilt context) and run the configured
-    solver.  Timing brackets only the jitted solve, compile excluded —
-    mirroring the reference's solver-stage timers (src/solver.c:1526-1553).
-    ``plan`` (a parallel.ShardingPlan) enables the distributed path.
+    solver.  ``plan`` (a parallel.ShardingPlan) enables the distributed
+    path.
+
+    By default the solve runs ONCE; ``wall_time``/``cpu_time`` then bracket
+    that single execution (compile time excluded — the driver is jitted and
+    lowered/compiled explicitly first).  ``timed=True`` additionally re-runs
+    the already-compiled solve and reports the re-run's timing — the
+    benchmark path mirroring the reference's solver-stage timers
+    (src/solver.c:1526-1553), opt-in so production-size runs pay once.
 
     ``u0`` warm-starts the solve (checkpoint resume): by linearity the
     driver solves A e = b - A u0 from zero and u0 is added back — no
@@ -133,16 +141,25 @@ def solve(
         ctx = dataclasses.replace(ctx, config=cfg)
 
     run = jax.jit(_driver(ctx))
-    res: OuterResult = run(b_in)  # compile + first run
-    jax.block_until_ready(res)
-    int(res.iters)  # host readback: forces real synchronization (axon)
+    t0 = time.perf_counter()
+    compiled = run.lower(b_in).compile()  # AOT: no throwaway execution
+    t_compile = time.perf_counter() - t0
 
-    # Timed run (state-free drivers: rerunning reproduces the same solve).
     t0w, t0c = time.perf_counter(), time.process_time()
-    res = run(b_in)
+    res: OuterResult = compiled(b_in)
     jax.block_until_ready(res)
-    iters = int(res.iters)
+    iters = int(res.iters)  # host readback: forces real sync (axon tunnel)
     t1w, t1c = time.perf_counter(), time.process_time()
+
+    if timed:
+        # Benchmark path: re-run the compiled solve so the reported timing
+        # excludes any first-execution overhead (state-free drivers:
+        # rerunning reproduces the same solve).
+        t0w, t0c = time.perf_counter(), time.process_time()
+        res = compiled(b_in)
+        jax.block_until_ready(res)
+        iters = int(res.iters)
+        t1w, t1c = time.perf_counter(), time.process_time()
 
     hist = np.asarray(res.rnorm_history)[: iters + 1]
     aux = None
@@ -165,4 +182,5 @@ def solve(
         cpu_time=t1c - t0c,
         ctx=ctx,
         aux=aux,
+        phases={"compile": t_compile, "solve": t1w - t0w},
     )

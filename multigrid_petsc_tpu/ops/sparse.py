@@ -86,17 +86,19 @@ def assemble_level_csr(
 
 def csr_to_ell(indptr, indices, data, dtype=np.float64):
     """Pad CSR rows to the max row width (ELLPACK); cols padded with 0 and
-    vals with 0.0 so padded slots contribute nothing."""
+    vals with 0.0 so padded slots contribute nothing.  Fully vectorized
+    (one scatter over the nnz — a Python per-row loop takes minutes at
+    8193^2 / 67M rows)."""
     rows = len(indptr) - 1
+    indptr = np.asarray(indptr)
     widths = np.diff(indptr)
     k = int(widths.max()) if rows else 0
     cols = np.zeros((rows, k), dtype=np.int32)
     vals = np.zeros((rows, k), dtype=dtype)
-    for r in range(rows):
-        lo, hi = indptr[r], indptr[r + 1]
-        w = hi - lo
-        cols[r, :w] = indices[lo:hi]
-        vals[r, :w] = data[lo:hi]
+    r_of = np.repeat(np.arange(rows), widths)
+    pos = np.arange(len(indices)) - np.repeat(indptr[:-1], widths)
+    cols[r_of, pos] = indices
+    vals[r_of, pos] = data
     return jnp.asarray(vals), jnp.asarray(cols)
 
 

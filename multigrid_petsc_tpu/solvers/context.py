@@ -50,6 +50,12 @@ class LevelCtx:
     shardings: tuple | None = None  # per-grid NamedSharding (distributed mode)
     coarse_solve: Callable | None = None  # real coarsest-level solver
     use_pallas_apply: bool = False  # fused Pallas SpMV on this level
+    # Explicit sparse backend (cfg.backend == "sparse"): the level operator
+    # as an assembled matrix (ops/sparse.SparseLevelOp) — the reference's
+    # always-explicit form (src/solver.c:489-556 levelMatrixA/A1/A2).
+    sparse_full: object | None = None
+    sparse_diag: object | None = None   # A1: grid-diagonal blocks only
+    sparse_coup: object | None = None   # A2: coupling blocks only
     # Fused V-cycle level visits (see vcycle.v_cycle):
     #   visit_down(b, u, sweeps) -> (u', restrict_fw(b - A u'))
     #   visit_up(b, u, e_coarse, sweeps, emit_r) ->
@@ -62,6 +68,8 @@ class LevelCtx:
     def apply(self, u: State) -> State:
         from multigrid_petsc_tpu.ops.stencil import Stencil9, apply_stencil9
 
+        if self.sparse_full is not None:
+            return self.sparse_full.apply(u)
         if isinstance(self.stencils[0], Stencil9):
             # 9-point path (anisotropic family): single grid per level.
             if self.use_pallas_apply:
@@ -80,16 +88,25 @@ class LevelCtx:
         return composite_apply(self.stencils, self.spec.gids, u)
 
     def apply_diag(self, u: State) -> State:
+        if self.sparse_diag is not None:
+            return self.sparse_diag.apply(u)
+        if self.sparse_full is not None and not self.spec.is_composite:
+            return self.sparse_full.apply(u)  # 1 grid: A1 == A
         return composite_apply(
             self.stencils, self.spec.gids, u, include_couplings=False
         )
 
     def apply_couplings(self, u: State) -> State:
+        if self.sparse_coup is not None:
+            return self.sparse_coup.apply(u)
         return composite_apply(
             self.stencils, self.spec.gids, u, include_diag=False
         )
 
     def residual(self, b: State, u: State) -> State:
+        if self.sparse_full is not None:
+            au = self.sparse_full.apply(u)
+            return tuple(bk - ak for bk, ak in zip(b, au))
         if self.use_pallas_apply:
             from multigrid_petsc_tpu.ops.stencil import Stencil9
 
@@ -186,8 +203,10 @@ class MGContext:
 
 def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
     """Pallas kernels: TPU, simple (non-composite) level, single device,
-    grid big enough to matter."""
-    if cfg.backend == "xla":
+    grid big enough to matter.  backend='sparse' never takes the
+    matrix-free kernels — the explicit operator has its own Pallas path
+    inside SparseLevelOp.apply."""
+    if cfg.backend in ("xla", "sparse"):
         return False
     if ctx.shardings is not None:
         return False  # GSPMD path handles distribution; Pallas+shard_map later
@@ -462,6 +481,20 @@ def build_context(
     specs = build_hierarchy(cfg.npts, cfg.grids, cfg.levels)
     mesh_type = MeshType(cfg.mesh)
 
+    use_sparse = cfg.backend == "sparse"
+    if use_sparse:
+        # Explicit backend limits: the native assembly engine
+        # (native/csr_assemble.cpp) evaluates the Poisson mesh-metric
+        # stencils; distribution of explicit matrices is not wired (the
+        # matrix-free path is the production distributed path).
+        if cfg.problem != "poisson":
+            raise ValueError("backend='sparse': poisson problem family only")
+        if plan is not None:
+            raise ValueError(
+                "backend='sparse' is the single-device explicit-operator "
+                "path; use backend='auto'/'pallas' for distributed runs"
+            )
+
     aniso = cfg.problem == "aniso"
     if aniso:
         from multigrid_petsc_tpu.problems import (
@@ -500,6 +533,23 @@ def build_context(
         dinv = tuple(1.0 / st.cc for st in stencils)
         lc = LevelCtx(spec=spec, stencils=stencils, dinv=dinv,
                       shardings=shardings)
+        if use_sparse:
+            from multigrid_petsc_tpu.ops.sparse import SparseLevelOp
+
+            gids = tuple(g.g for g in spec.grids)
+            lc.sparse_full = SparseLevelOp(cfg.npts, cfg.mesh, gids,
+                                           dtype=dtype)
+            if spec.is_composite:
+                # A1/A2 split for the E-cycle (reference: levelMatrixA1/A2,
+                # src/solver.c:512-556).
+                lc.sparse_diag = SparseLevelOp(
+                    cfg.npts, cfg.mesh, gids, dtype=dtype,
+                    include_couplings=False,
+                )
+                lc.sparse_coup = SparseLevelOp(
+                    cfg.npts, cfg.mesh, gids, dtype=dtype,
+                    include_diag=False,
+                )
         levels.append(lc)
 
     for lc in levels:

@@ -61,7 +61,9 @@ class SolverConfig:
     aniso: tuple = (1.0, 0.0, 1.0, 0.0, 0.0)  # (ax0, ax2, cy0, cy2, b)
     smoother: SmootherType = SmootherType.JACOBI
     composite_smoother: str = "block_gs"  # smoother on merged-grid levels
-    backend: str = "auto"  # auto | xla | pallas (hot-path kernel choice)
+    backend: str = "auto"  # auto | xla | pallas (matrix-free kernel choice)
+    # | sparse (explicit assembled CSR->DIA/ELL operator per level — the
+    # reference's always-explicit matrix form, src/solver.c:489-556)
     coarse_solver: str = "auto"  # auto | direct | cg | smooth
     max_direct_size: int = 4096  # densify coarsest op up to this many unknowns
     coarse_cg_iters: int = 64

@@ -141,3 +141,87 @@ def test_stencil_form_explicit_matches():
     got = op.apply(x, force_dia=True)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=1e-12, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# backend="sparse": full solves over the explicit assembled operator
+# (reference: the solve ALWAYS runs over explicit level matrices,
+# src/solver.c:489-556 + MatMult everywhere).
+# ---------------------------------------------------------------------------
+
+
+def _histories(cfg_kwargs, expect_converged=True):
+    from multigrid_petsc_tpu.solvers.solve import solve
+    from multigrid_petsc_tpu.utils.config import SolverConfig
+
+    out = {}
+    for backend in ("xla", "sparse"):
+        res = solve(SolverConfig(backend=backend, **cfg_kwargs))
+        assert res.converged == expect_converged
+        out[backend] = (res.iters, res.rnorm, res.u_fine)
+    return out["xla"], out["sparse"]
+
+
+@pytest.mark.parametrize("mesh_type", [0, 1, 2])
+def test_sparse_backend_vcycle_matches_matrix_free(mesh_type):
+    """V-cycle over the explicit operator: iteration-for-iteration
+    identical residual history to the matrix-free path."""
+    (it_x, h_x, u_x), (it_s, h_s, u_s) = _histories(
+        dict(npts=33, grids=3, levels=3, mesh=mesh_type, rtol=1e-9)
+    )
+    assert it_x == it_s
+    np.testing.assert_allclose(h_s, h_x, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(u_s, u_x, rtol=1e-8, atol=1e-12)
+
+
+def test_sparse_backend_mgcg_matches_matrix_free():
+    from multigrid_petsc_tpu.utils.config import CycleType
+
+    (it_x, h_x, _), (it_s, h_s, _) = _histories(
+        dict(npts=33, grids=3, levels=3, cycle=CycleType.MGCG, rtol=1e-9)
+    )
+    assert it_x == it_s
+    np.testing.assert_allclose(h_s, h_x, rtol=1e-8, atol=1e-12)
+
+
+def test_sparse_backend_composite_level_matches():
+    """Composite (merged-grid) coarse level: couplings ride the explicit
+    A / A1 / A2 matrices."""
+    (it_x, h_x, _), (it_s, h_s, _) = _histories(
+        dict(npts=33, grids=3, levels=2, rtol=1e-8)
+    )
+    assert it_x == it_s
+    np.testing.assert_allclose(h_s, h_x, rtol=1e-8, atol=1e-12)
+
+
+def test_sparse_backend_ecycle_matches():
+    """E-cycle's A1/A2 split over explicit matrices (levelMatrixA1/A2,
+    src/solver.c:512-556)."""
+    from multigrid_petsc_tpu.utils.config import CycleType
+
+    # The E-cycle's own convergence metric ||b - A1 u|| plateaus at
+    # ||R f||/||b|| (see solvers/cycles.py::solve_ecycle): it runs to
+    # max_iter like the reference binary — compare the histories only.
+    (it_x, h_x, _), (it_s, h_s, _) = _histories(
+        dict(npts=17, grids=2, levels=1, cycle=CycleType.ECYCLE,
+             max_iter=40, rtol=1e-6),
+        expect_converged=False,
+    )
+    assert it_x == it_s
+    np.testing.assert_allclose(h_s, h_x, rtol=1e-8, atol=1e-12)
+
+
+def test_sparse_backend_guards():
+    from multigrid_petsc_tpu.solvers.solve import solve
+    from multigrid_petsc_tpu.parallel.device_mesh import (
+        ShardingPlan, make_device_mesh,
+    )
+    from multigrid_petsc_tpu.utils.config import SolverConfig
+
+    with pytest.raises(ValueError, match="poisson"):
+        solve(SolverConfig(backend="sparse", problem="aniso",
+                           npts=17, grids=2, levels=2))
+    plan = ShardingPlan(make_device_mesh(), min_local=2)
+    with pytest.raises(ValueError, match="single-device"):
+        solve(SolverConfig(backend="sparse", npts=17, grids=2, levels=2),
+              plan=plan)

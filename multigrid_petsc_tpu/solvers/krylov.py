@@ -78,7 +78,30 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     )
 
 
-def solve_mgcg_mixed(ctx: MGContext, b0: State | None = None) -> OuterResult:
+def outer_precision_operator(ctx: MGContext, odt):
+    """(apply_fn, stencil) evaluating the FINE-level operator of ``ctx``'s
+    own problem family in the outer dtype — the f64 defect-correction
+    operator for any supported family (5-pt Poisson on all three meshes,
+    9-pt anisotropic), not a hand-built special case."""
+    from multigrid_petsc_tpu.mesh import MeshType
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil5, apply_stencil9
+
+    cfg = ctx.config
+    g0 = ctx.levels[0].spec.primary
+    if cfg.problem == "aniso":
+        from multigrid_petsc_tpu.problems import stencil9_coefficients
+
+        st = stencil9_coefficients(ctx.problem, g0.ny, g0.nx, odt)
+        return (lambda u: apply_stencil9(st, u)), st
+    from multigrid_petsc_tpu.problems import stencil_coefficients
+
+    st = stencil_coefficients(MeshType(cfg.mesh), g0.ny, g0.nx, odt)
+    return (lambda u: apply_stencil5(st, u)), st
+
+
+def solve_mgcg_mixed(
+    ctx: MGContext, b0: State | None = None, u0=None
+) -> OuterResult:
     """Mixed-precision defect correction: f64 residuals, f32 mg-CG inner.
 
     Each outer iteration computes r = b - A u in ``outer_dtype`` (one
@@ -86,21 +109,19 @@ def solve_mgcg_mixed(ctx: MGContext, b0: State | None = None) -> OuterResult:
     handful of mg-CG iterations in the working dtype, and accumulates u in
     ``outer_dtype``.  Converges to the f64 roundoff floor — the path to the
     1e-8 residual target of BASELINE.md on hardware where f32 alone
-    plateaus near 1e-6."""
+    plateaus near 1e-6.  The outer operator comes from the level's own
+    problem family (``outer_precision_operator``), so the stretched-mesh
+    and anisotropic 9-point configs certify the same way as uniform
+    Poisson.  ``u0`` warm-starts the outer iteration directly (the
+    defect-correction loop is already a correction solve)."""
     import dataclasses
-
-    from multigrid_petsc_tpu.mesh import MeshType
-    from multigrid_petsc_tpu.problems import stencil_coefficients
 
     cfg = ctx.config
     odt = jnp.dtype(cfg.outer_dtype)
     lvl0 = ctx.levels[0]
     assert not lvl0.spec.is_composite, "mixed outer: simple fine level only"
-    assert cfg.problem == "poisson", "mixed outer: poisson family only"
     g0 = lvl0.spec.primary
-    st64 = stencil_coefficients(MeshType(cfg.mesh), g0.ny, g0.nx, odt)
-
-    from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+    apply64, _ = outer_precision_operator(ctx, odt)
 
     # NOTE: callers must supply b0 already evaluated in the outer dtype
     # (solve() does); upcasting an f32 RHS would bake an eps32*||b|| error
@@ -116,8 +137,8 @@ def solve_mgcg_mixed(ctx: MGContext, b0: State | None = None) -> OuterResult:
     )
     inner_ctx = dataclasses.replace(ctx, config=inner_cfg)
 
-    u = jnp.zeros(g0.shape, odt)
-    r = b - apply_stencil5(st64, u)
+    u = jnp.zeros(g0.shape, odt) if u0 is None else u0[0].astype(odt)
+    r = b - apply64(u)
     rn0 = jnp.linalg.norm(r.ravel())
     hist = jnp.zeros(hist_len + 1, dtype=odt).at[0].set(rn0)
 
@@ -131,10 +152,10 @@ def solve_mgcg_mixed(ctx: MGContext, b0: State | None = None) -> OuterResult:
 
     def body(c):
         u, i, rn, hist = c
-        r = b - apply_stencil5(st64, u)
+        r = b - apply64(u)
         e = solve_mgcg(inner_ctx, (r.astype(ctx.dtype),)).u[0]
         u = u + e.astype(odt)
-        rn = jnp.linalg.norm((b - apply_stencil5(st64, u)).ravel())
+        rn = jnp.linalg.norm((b - apply64(u)).ravel())
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, i + 1, rn, hist)
 

@@ -42,7 +42,7 @@ class SolveResult:
 _DRIVERS = {}
 
 
-def _driver(ctx: MGContext):
+def _driver(ctx: MGContext, u0_mixed=None):
     # Imported here to avoid import cycles.
     from multigrid_petsc_tpu.solvers import cycles as cy
     from multigrid_petsc_tpu.solvers import delayed as dl
@@ -62,7 +62,7 @@ def _driver(ctx: MGContext):
         return lambda b0: vc.solve_fmg(ctx, b0)
     if c == CycleType.MGCG:
         if ctx.config.outer_dtype is not None:
-            return lambda b0: kr.solve_mgcg_mixed(ctx, b0)
+            return lambda b0: kr.solve_mgcg_mixed(ctx, b0, u0=u0_mixed)
         return lambda b0: kr.solve_mgcg(ctx, b0)
     if c == CycleType.MGFGMRES:
         return lambda b0: kr.solve_mgfgmres(ctx, b0)
@@ -106,21 +106,29 @@ def solve(
     if ctx is None:
         ctx = build_context(cfg, problem, plan=plan)
 
+    mixed = cfg.outer_dtype is not None and cfg.cycle == CycleType.MGCG
     b_in = ctx.b0
-    if cfg.outer_dtype is not None and cfg.cycle == CycleType.MGCG:
+    if mixed:
         # Mixed-precision outer: evaluate the RHS directly in the outer
         # dtype (see solve_mgcg_mixed).
         import jax.numpy as jnp
 
         from multigrid_petsc_tpu.mesh import MeshType
-        from multigrid_petsc_tpu.problems import rhs_grid
 
         g0 = ctx.levels[0].spec.primary
-        b_in = (
-            rhs_grid(ctx.problem, MeshType(cfg.mesh), g0.ny, g0.nx,
-                     jnp.dtype(cfg.outer_dtype)),
-        )
+        odt = jnp.dtype(cfg.outer_dtype)
+        if cfg.problem == "aniso":
+            from multigrid_petsc_tpu.problems import aniso_rhs_grid
 
+            b_in = (aniso_rhs_grid(ctx.problem, g0.ny, g0.nx, odt),)
+        else:
+            from multigrid_petsc_tpu.problems import rhs_grid
+
+            b_in = (
+                rhs_grid(ctx.problem, MeshType(cfg.mesh), g0.ny, g0.nx, odt),
+            )
+
+    u0_mixed = None
     if u0 is not None:
         import dataclasses
 
@@ -128,19 +136,24 @@ def solve(
 
         from multigrid_petsc_tpu.ops.norms import tree_norm2
 
-        if cfg.outer_dtype is not None:
-            raise NotImplementedError("warm start + mixed outer not wired")
-        u0 = tuple(jnp.asarray(x, ctx.dtype) for x in u0)
-        bn_orig = float(tree_norm2(b_in))
-        b_in = jax.jit(ctx.levels[0].residual)(b_in, u0)
-        bn_new = float(tree_norm2(b_in))
-        # The driver solves the correction system A e = b - A u0; keep the
-        # stopping target equivalent to rtol * ||b_original||.
-        eff_rtol = min(1.0, cfg.rtol * bn_orig / max(bn_new, 1e-300))
-        cfg = dataclasses.replace(cfg, rtol=eff_rtol)
-        ctx = dataclasses.replace(ctx, config=cfg)
+        if mixed:
+            # The defect-correction outer is already a correction solve:
+            # warm-start it directly (it recomputes its own first residual
+            # in the outer dtype).
+            u0_mixed = tuple(jnp.asarray(x, cfg.outer_dtype) for x in u0)
+            u0 = None
+        else:
+            u0 = tuple(jnp.asarray(x, ctx.dtype) for x in u0)
+            bn_orig = float(tree_norm2(b_in))
+            b_in = jax.jit(ctx.levels[0].residual)(b_in, u0)
+            bn_new = float(tree_norm2(b_in))
+            # The driver solves the correction system A e = b - A u0; keep
+            # the stopping target equivalent to rtol * ||b_original||.
+            eff_rtol = min(1.0, cfg.rtol * bn_orig / max(bn_new, 1e-300))
+            cfg = dataclasses.replace(cfg, rtol=eff_rtol)
+            ctx = dataclasses.replace(ctx, config=cfg)
 
-    run = jax.jit(_driver(ctx))
+    run = jax.jit(_driver(ctx, u0_mixed=u0_mixed))
     t0 = time.perf_counter()
     compiled = run.lower(b_in).compile()  # AOT: no throwaway execution
     t_compile = time.perf_counter() - t0

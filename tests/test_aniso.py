@@ -98,3 +98,77 @@ def test_alternating_line_smoother():
     res = solve(cfg)
     assert res.converged
     assert res.iters <= 12
+
+
+def test_mixed_precision_outer_aniso():
+    """BASELINE config-4 closure: the anisotropic 9-point operator
+    certifies a true f64 residual <= 1e-8 with the f32 inner MG — the
+    f64 defect-correction outer now routes through the level's own
+    problem family instead of a hand-built Poisson stencil."""
+    cfg = SolverConfig(
+        npts=65, grids=4, levels=4, cycle=CycleType.MGCG, dtype="float32",
+        problem="aniso", aniso=(0.05, 0.0, 1.0, 0.0, 0.0),
+        smoother=SmootherType.LINE_Y, omega=0.7,
+        outer_dtype="float64", rtol=1e-9, max_iter=40,
+    )
+    res = solve(cfg)
+    assert res.converged
+    assert res.u_fine.dtype == np.float64
+    prob = res.ctx.problem
+    st = stencil9_coefficients(prob, 63, 63, jnp.float64)
+    b = aniso_rhs_grid(prob, 63, 63, jnp.float64)
+    true_rel = float(
+        np.linalg.norm(
+            np.asarray(b - apply_stencil9(st, jnp.asarray(res.u_fine)))
+        )
+        / np.linalg.norm(np.asarray(b))
+    )
+    assert true_rel < 1e-8
+
+
+def test_mixed_precision_outer_stretched_mesh():
+    """Stretched-mesh (NONUNIFORM2) 5-pt operator certifies through the
+    same generalized mixed-precision outer."""
+    from multigrid_petsc_tpu.mesh import MeshType
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+    from multigrid_petsc_tpu.problems import (
+        poisson_sin_problem, rhs_grid, stencil_coefficients,
+    )
+
+    cfg = SolverConfig(
+        npts=65, grids=4, levels=4, cycle=CycleType.MGCG, dtype="float32",
+        mesh=2, outer_dtype="float64", rtol=1e-9, max_iter=40,
+    )
+    res = solve(cfg)
+    assert res.converged
+    st = stencil_coefficients(MeshType.NONUNIFORM2, 63, 63, jnp.float64)
+    b = rhs_grid(poisson_sin_problem(), MeshType.NONUNIFORM2, 63, 63,
+                 jnp.float64)
+    true_rel = float(
+        np.linalg.norm(
+            np.asarray(b - apply_stencil5(st, jnp.asarray(res.u_fine)))
+        )
+        / np.linalg.norm(np.asarray(b))
+    )
+    assert true_rel < 1e-8
+
+
+def test_mixed_precision_warm_start():
+    """Checkpoint-resume composes with the mixed-precision outer: the
+    defect-correction loop warm-starts from u0 directly."""
+    import dataclasses
+
+    base = SolverConfig(
+        npts=65, grids=4, levels=4, cycle=CycleType.MGCG, dtype="float32",
+        outer_dtype="float64", rtol=1e-10, max_iter=30,
+    )
+    full = solve(base)
+    assert full.converged
+
+    part = solve(dataclasses.replace(base, max_iter=2))
+    assert not part.converged
+    resumed = solve(base, u0=part.u)
+    assert resumed.converged
+    assert resumed.iters < full.iters
+    np.testing.assert_allclose(resumed.u_fine, full.u_fine,
+                               rtol=1e-8, atol=1e-12)

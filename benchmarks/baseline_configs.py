@@ -1,0 +1,212 @@
+"""BASELINE.md benchmark suite: the five named configs, solved end-to-end
+on the attached chip, with recorded V-cycles, wall time to tolerance, and
+the FULL-SOLVE fraction of the HBM roofline (not just the isolated SpMV —
+the metric BASELINE.md actually demands).
+
+For each config two records are produced:
+  * ``f32``  — pure-f32 mg-CG (or config's cycle) to its f32-attainable
+    tolerance: the throughput/roofline measurement.
+  * ``mixed``— f32 inner + f64 defect-correction outer to the 1e-8 target:
+    the certification record (V-cycles/outer iters + wall time + true f64
+    residual), reference src/solver.c:1526-1573 timers.
+
+Roofline accounting: a traffic model counts the HBM streams the algorithm
+must move per outer iteration given our fused-visit kernels (see
+``modeled_bytes_per_iter``); achieved_bytes/s over the measured triad
+bandwidth is the reported fraction.  This is the solve-level analogue of
+bench.py's per-kernel number.
+
+Usage:  python benchmarks/baseline_configs.py [--out PATH] [--configs 1,2,3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mgtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from multigrid_petsc_tpu.solvers.solve import solve
+from multigrid_petsc_tpu.utils.config import (
+    CycleType,
+    SmootherType,
+    SolverConfig,
+)
+
+
+def measured_bandwidth(n: int = 8191, dtype=jnp.float32) -> float:
+    """Achievable HBM bandwidth (bytes/s) via a same-size triad."""
+    x = jnp.ones((n, n), dtype)
+
+    @jax.jit
+    def triad(x):
+        return x * jnp.asarray(0.999, dtype) + jnp.asarray(1e-9, dtype)
+
+    float(jnp.sum(triad(x)))  # compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(10):
+        out = triad(x)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 10
+    return (n * n * 2 * jnp.dtype(dtype).itemsize) / dt
+
+
+def modeled_bytes_per_iter(ctx) -> float:
+    """Minimum HBM bytes per mg-CG outer iteration with the fused-visit
+    V-cycle preconditioner.
+
+    Per level of size m^2 (element size B):
+      visit_down  reads (u, b), writes u and the restricted residual
+                  (m^2/4):                      3.25 m^2 B
+      visit_up    reads (u, b, e=m^2/4), writes u (+ r on the finest):
+                  3.25 m^2 B (+ m^2 B)
+      coarsest    one smooth read b write u:    2 m^2 B
+    CG vector work on the fine grid (apply p -> Ap with fused dot; axpys
+    u,r; norm; z-dot; p update): ~13 n^2 B (see inline constants).
+    """
+    B = jnp.dtype(ctx.dtype).itemsize
+    sizes = [
+        sum(ny * nx for ny, nx in lvl.padded_shapes) for lvl in ctx.levels
+    ]
+    n2 = sizes[0]
+    total = 13.0 * n2 * B  # CG overhead on the fine grid
+    for m2 in sizes[:-1]:
+        total += 6.5 * m2 * B  # down + up fused visits
+    total += 1.0 * n2 * B  # emit_r on the finest up-visit
+    total += 2.0 * sizes[-1] * B  # coarsest solve (>= one b read + u write)
+    return total
+
+
+def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
+               certify: bool = True) -> dict:
+    rec: dict = {"name": name, "npts": cfg.npts, "cycle": cfg.cycle.name,
+                 "smoother": cfg.smoother.value, "note": note}
+
+    # --- f32 throughput record -------------------------------------------
+    f32_cfg = dataclasses.replace(cfg, dtype="float32", outer_dtype=None,
+                                  rtol=max(cfg.rtol, 1e-5))
+    res = solve(f32_cfg, plan=plan, timed=True)
+    bw = measured_bandwidth(min(8191, 4 * (cfg.npts - 1) - 1))
+    per_iter = modeled_bytes_per_iter(res.ctx)
+    achieved = per_iter * res.iters / res.wall_time
+    n2 = (cfg.npts - 2) ** 2
+    rec["f32"] = {
+        "iters": int(res.iters),
+        "converged": bool(res.converged),
+        "rtol": f32_cfg.rtol,
+        "wall_s": res.wall_time,
+        "ms_per_cycle": 1e3 * res.wall_time / max(res.iters, 1),
+        "solve_points_per_s": n2 * res.iters / res.wall_time,
+        "modeled_bytes_per_iter": per_iter,
+        "measured_bw_bytes_per_s": bw,
+        "roofline_fraction": achieved / bw,
+    }
+
+    # --- mixed-precision certification to 1e-8 ---------------------------
+    if certify:
+        mx_cfg = dataclasses.replace(
+            cfg, dtype="float32", outer_dtype="float64", rtol=1e-8,
+            cycle=CycleType.MGCG,
+        )
+        resm = solve(mx_cfg, plan=plan, timed=True)
+        hist = resm.rnorm
+        rec["mixed_1e8"] = {
+            "outer_iters": int(resm.iters),
+            "converged": bool(resm.converged),
+            "wall_s": resm.wall_time,
+            "final_rel_residual": float(hist[-1]),
+        }
+    return rec
+
+
+def build_suite(chip: str):
+    from multigrid_petsc_tpu.parallel.device_mesh import row_plan
+
+    suite = []
+
+    # 1. poisson.in-style baseline: 129^2, 4-level V-cycle hierarchy,
+    #    weighted-Jacobi smoother, CG outer.
+    suite.append((
+        "cfg1_129_jacobi_mgcg",
+        SolverConfig(npts=129, grids=4, levels=4, cycle=CycleType.MGCG,
+                     smoother=SmootherType.JACOBI, max_iter=100),
+        None, "BASELINE config 1 (1 chip)", True,
+    ))
+    # 2. 1025^2 Chebyshev, full-weighting/bilinear transfers, single chip.
+    suite.append((
+        "cfg2_1025_chebyshev",
+        SolverConfig(npts=1025, grids=8, levels=8, cycle=CycleType.MGCG,
+                     smoother=SmootherType.CHEBYSHEV, max_iter=100),
+        None, "BASELINE config 2 (1 chip)", True,
+    ))
+    # 3. 8193^2 row-partitioned with the distributed fused kernels (the
+    #    halo-exchange path; degenerate exchange on a 1-chip mesh).
+    suite.append((
+        "cfg3_8193_rows_dist",
+        SolverConfig(npts=8193, grids=11, levels=11, cycle=CycleType.MGCG,
+                     smoother=SmootherType.JACOBI, max_iter=100),
+        row_plan(min_local=32),
+        f"BASELINE config 3: row partition + shard_map fused kernels on "
+        f"{chip} (single-chip mesh; multi-chip layout validated on the "
+        f"8-virtual-device CPU mesh in tests/test_dist_pallas.py)", True,
+    ))
+    # 4. anisotropic 9-point with line smoother.
+    suite.append((
+        "cfg4_1025_aniso9_line",
+        SolverConfig(npts=1025, grids=8, levels=8, cycle=CycleType.MGCG,
+                     problem="aniso", aniso=(1.0, 0.0, 100.0, 0.0, 0.0),
+                     smoother=SmootherType.LINE_Y, max_iter=100),
+        None, "BASELINE config 4 (eps=100 anisotropy, y-line smoother)",
+        True,
+    ))
+    # 5. 32769^2 multi-host: does not fit one chip's HBM (u,r,p,z,b alone
+    #    ~21 GB in f32); the capability row (FMG start + coarse-level
+    #    agglomeration + sharded solve) is recorded at 8193^2 instead and
+    #    the multi-host sharding layout is exercised on the virtual mesh.
+    suite.append((
+        "cfg5_8193_fmg_agglomeration",
+        SolverConfig(npts=8193, grids=11, levels=11, cycle=CycleType.FMG,
+                     smoother=SmootherType.JACOBI, max_iter=100),
+        row_plan(min_local=32),
+        "BASELINE config 5 scaled to 1-chip HBM (32769^2 needs >= 4 chips;"
+        " FMG + agglomeration + row partition active)", False,
+    ))
+    return suite
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/results/baseline_latest.json")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    which = {int(s) for s in args.configs.split(",")}
+
+    chip = str(jax.devices()[0])
+    suite = build_suite(chip)
+    results = {"device": chip, "records": []}
+    for i, (name, cfg, plan, note, certify) in enumerate(suite, start=1):
+        if i not in which:
+            continue
+        print(f"== {name} ==", flush=True)
+        rec = run_config(name, cfg, plan=plan, note=note, certify=certify)
+        print(json.dumps(rec, indent=1), flush=True)
+        results["records"].append(rec)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,304 @@
+"""Distributed (shard_map) variants of the fused Pallas level-visit kernels.
+
+This is the composition the reference's hot path is built on: every SpMV is
+a *distributed* operator application with a neighbor halo exchange under it
+(reference: src/solver.c:1516,1535,1540 — MatMult on row-partitioned AIJ;
+SURVEY.md C23).  Here the fine grid is 1-D row-partitioned over the device
+mesh (the TPU counterpart of the reference's GetRanges block-row partition,
+src/matbuild.c:120-144), each device runs the SAME fused Pallas kernels as
+the single-device path on its local row block, and the k-row halo windows
+that cross a device boundary ride a ``lax.ppermute`` over ICI instead of a
+host-side strided gather.
+
+Key design points (vs. ops/pallas/stencil_kernel.py):
+
+  * **One pad row.** shard_map needs even shards; multigrid row counts are
+    ``2^m - 1``.  Sharded levels therefore carry exactly one extra zero row
+    so ``ny + 1`` (= ``2^m``) divides the device count.  Pad and phantom
+    (outside-the-domain) rows are encoded IN THE COEFFICIENTS as the
+    absorbing identity ``cc = 1, cs = cw = ce = cn = 0`` with ``b = 0``:
+    every polynomial smoother step then maps ``u_pad = 0`` to ``0`` exactly,
+    so no in-kernel masking is needed at all — Dirichlet semantics come from
+    zero-filled ppermute edges (missing pairs deliver zeros) plus the
+    identity rows.  The restriction emit masks the single global coarse pad
+    row in-kernel (it would otherwise read the last real fine row).
+  * **Per-device coefficient slabs** are precomputed host-side once per
+    (tile, halo) signature — they are tiny ((ny,1) metric columns) and
+    static, so only u/b/e move over ICI at runtime.
+  * The kernel bodies are otherwise the same folded visit as the
+    single-device mega-kernels: [u += P e] -> k smoothing steps ->
+    [residual | restricted residual], one HBM read of (u, b) per visit.
+
+Halo traffic per visit is ``2 * h * nx`` elements per device pair (h = k+2
+at most) — for an 8193^2 f32 grid on 8 devices that is ~320 KB against a
+~100 MB local slab read: <0.5% of the kernel's HBM time, so the exchange
+hides entirely behind XLA's scheduling of the independent ppermutes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multigrid_petsc_tpu.ops.stencil import Stencil5
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+    _prolong_x_vmem,
+    _restrict_x_vmem,
+    _shift_e,
+    _shift_w,
+    _x64_scope,
+)
+
+# Extra halo rows beyond the smoothing steps, per emit mode (the trailing
+# residual apply costs one row; the y-restriction window one more).
+_EXTRA_H = {"u": 0, "a": 1, "r": 1, "ur": 1, "rc": 2}
+
+
+def halo_rows(sweeps: int, emit: str) -> int:
+    return sweeps + _EXTRA_H[emit]
+
+
+def _e_halo_rows(h: int) -> tuple[int, int]:
+    """(top, bottom) coarse-correction halo rows for fine halo ``h``
+    (same formulas as the single-device fused visit)."""
+    th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
+    return th, h + 1 - th
+
+
+def pick_tile(R: int, h: int, cap: int = 256) -> int | None:
+    """Largest even divisor of the per-device row count ``R`` that is
+    <= cap and can carry the halo (h < t, e-halo <= t//2); None if R
+    cannot host the kernel."""
+    th, bh = _e_halo_rows(h)
+    for t in range(min(R, cap), 1, -1):
+        if R % t == 0 and t % 2 == 0 and t > h and t // 2 >= max(th, bh):
+            return t
+    return None
+
+
+def dist_coeff_slabs(
+    st: Stencil5, ny: int, R: int, P: int, t: int, h: int, dtype
+) -> np.ndarray:
+    """Per-device, per-slab halo-extended coefficient windows,
+    shape (P * g, 5, t + 2h, 1) with g = R // t slabs per device.
+
+    Rows are indexed in the PADDED global row space [0, P*R); rows >= ny
+    (the pad row) and rows outside the space (phantom halo rows at the
+    domain edge) carry the absorbing identity (0, 0, 1, 0, 0).
+    """
+    g = R // t
+    t2 = t + 2 * h
+    ny_pad = P * R
+    dt = np.dtype(dtype)
+    # Virtual row table over [-h, ny_pad + h), offset by h.
+    ext = np.zeros((5, ny_pad + 2 * h), dt)
+    ext[2] = 1.0
+    for j, c in enumerate(st):
+        col = np.broadcast_to(np.asarray(c, dt).reshape(-1, 1), (ny, 1))
+        ext[j, h : h + ny] = col[:, 0]
+    # Slab i on device p covers padded rows [p*R + i*t - h, ... + t + h).
+    base = (np.arange(P)[:, None] * R + np.arange(g)[None, :] * t).reshape(-1)
+    idx = base[:, None] + np.arange(t2)[None, :]  # ext is offset by h already
+    return ext[:, idx].transpose(1, 0, 2)[..., None]  # (P*g, 5, t2, 1)
+
+
+def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
+    """Fused distributed level-visit kernel body (one device's row block).
+
+    No global-row masking: Dirichlet/pad semantics live in the coefficient
+    slabs + zero-filled halos (see module docstring).  ``flag_ref`` is 1 on
+    the last device — used only to zero the global coarse pad row of the
+    'rc' emit.
+    """
+    t2 = t + 2 * h
+
+    def kernel(*refs):
+        if correct:
+            (flag_ref, c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
+             em_ref, et_ref, eb_ref, *outs) = refs
+        else:
+            (flag_ref, c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
+             *outs) = refs
+        i = pl.program_id(0).astype(jnp.int32)
+        u = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
+        b = jnp.concatenate([bt_ref[0], b_ref[:], bb_ref[0]], axis=0)
+
+        if correct:
+            # In-VMEM bilinear prolongation of the coarse correction (same
+            # transposed sublane-interleave as the single-device kernel).
+            e_loc = jnp.concatenate([et_ref[0], em_ref[:], eb_ref[0]], axis=0)
+            e_loc = _prolong_x_vmem(e_loc)
+            prev, cur = e_loc[:-1], e_loc[1:]
+            if h % 2 == 0:
+                # Slab starts on an even (padded-)global fine row.
+                pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
+            else:
+                pe = jnp.stack([prev, 0.5 * (prev + cur)], axis=1)
+            u = u + pe.reshape(t2, pe.shape[-1])
+
+        cs = c_ref[0, 0]
+        cw = c_ref[0, 1]
+        cc = c_ref[0, 2]
+        ce = c_ref[0, 3]
+        cn = c_ref[0, 4]
+        dinv = 1.0 / cc
+
+        def apply_a(v):
+            south = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+            north = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+            return (cc * v + cs * south + cn * north
+                    + cw * _shift_w(v) + ce * _shift_e(v))
+
+        p = jnp.zeros_like(u)
+        for (alpha, beta) in steps:
+            z = dinv * (b - apply_a(u))
+            p = beta * p + alpha * z
+            u = u + p
+
+        if emit == "a":
+            outs[0][:] = apply_a(u)[h : h + t]
+            return
+        if emit == "r":
+            outs[0][:] = (b - apply_a(u))[h : h + t]
+            return
+        outs[0][:] = u[h : h + t]
+        if emit == "ur":
+            outs[1][:] = (b - apply_a(u))[h : h + t]
+        elif emit == "rc":
+            r = b - apply_a(u)
+            v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
+            ev, od = v[:, 0], v[:, 1]
+            ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
+            rc = _restrict_x_vmem(ev + 2.0 * od + ev_next)
+            # The global coarse PAD row (last coarse row of the last
+            # device) reads the last REAL fine residual row — pin it to 0
+            # so the coarse RHS keeps the pad-absorbing invariant.
+            rows = jax.lax.broadcasted_iota(jnp.int32, rc.shape, 0)
+            pad_row = ((flag_ref[0, 0] == 1)
+                       & (i == jnp.int32(g - 1))
+                       & (rows == jnp.int32(t // 2 - 1)))
+            outs[1][:] = jnp.where(pad_row, jnp.zeros_like(rc), rc)
+
+    return kernel
+
+
+def _edge_exchange(x: jnp.ndarray, n: int, axis: str):
+    """(from_prev, from_next): ``n`` boundary rows from each neighbor along
+    the sharded ``axis`` (zeros at the global edges — missing ppermute
+    pairs deliver zeros, which IS the eliminated Dirichlet boundary)."""
+    P = lax.axis_size(axis)
+    fwd = [(i, i + 1) for i in range(P - 1)]
+    bwd = [(i + 1, i) for i in range(P - 1)]
+    return lax.ppermute(x[-n:], axis, fwd), lax.ppermute(x[:n], axis, bwd)
+
+
+def _windows(x: jnp.ndarray, t: int, g: int, h: int, ext_top, ext_bot):
+    """(g, h, nx) top/bottom halo windows for each row slab: interior
+    windows from neighbor slabs, edge windows from the ppermuted rows."""
+    blocks = x.reshape(g, t, x.shape[1])
+    if g == 1:
+        return ext_top[None], ext_bot[None]
+    tops = jnp.concatenate([ext_top[None], blocks[:-1, t - h :]], axis=0)
+    bots = jnp.concatenate([blocks[1:, :h], ext_bot[None]], axis=0)
+    return tops, bots
+
+
+def dist_level_visit_local(
+    c_slabs: jnp.ndarray,  # (g, 5, t+2h, 1) this device's coefficient slabs
+    u: jnp.ndarray,        # (R, nx) local row block
+    b: jnp.ndarray,
+    e: jnp.ndarray | None = None,  # (R//2, nxc) local coarse correction
+    *,
+    steps: tuple,
+    emit: str,
+    t: int,
+    axis: str = "y",
+    interpret: bool = False,
+):
+    """One fused level visit on this device's row block (shard_map body).
+
+    Exchanges the halo rows with the axis neighbors via ppermute, then runs
+    the fused Pallas kernel over the local slabs.  Returns per ``emit``:
+    "u" -> u', "a" -> A u, "r" -> b - A u, "ur" -> (u', r), "rc" -> (u', R r).
+    """
+    R, nx = u.shape
+    k = len(steps)
+    h = halo_rows(k, emit)
+    g = R // t
+    correct = e is not None
+
+    u_ext_t, u_ext_b = _edge_exchange(u, h, axis)
+    b_ext_t, b_ext_b = _edge_exchange(b, h, axis)
+    u_top, u_bot = _windows(u, t, g, h, u_ext_t, u_ext_b)
+    b_top, b_bot = _windows(b, t, g, h, b_ext_t, b_ext_b)
+
+    flag = (lax.axis_index(axis) == lax.axis_size(axis) - 1)
+    flag = flag.astype(jnp.int32).reshape(1, 1)
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, h, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    coeff = pl.BlockSpec((1, 5, t + 2 * h, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    in_specs = [flag_spec, coeff, mid, halo, halo, mid, halo, halo]
+    args = [flag, c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+
+    if correct:
+        nxc = e.shape[1]
+        th, bh = _e_halo_rows(h)
+        e_ext_t, e_ext_b = _edge_exchange(e, max(th, bh), axis)
+        eblocks = e.reshape(g, t // 2, nxc)
+        if g == 1:
+            e_top = e_ext_t[-th:][None]
+            e_bot = e_ext_b[:bh][None]
+        else:
+            e_top = jnp.concatenate(
+                [e_ext_t[-th:][None], eblocks[:-1, t // 2 - th :]], axis=0
+            )
+            e_bot = jnp.concatenate(
+                [eblocks[1:, :bh], e_ext_b[:bh][None]], axis=0
+            )
+        in_specs += [
+            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, nxc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, nxc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [e, e_top, e_bot]
+
+    out_specs = [mid]
+    out_shape = [jax.ShapeDtypeStruct((R, nx), u.dtype)]
+    if emit == "ur":
+        out_specs.append(mid)
+        out_shape.append(jax.ShapeDtypeStruct((R, nx), u.dtype))
+    elif emit == "rc":
+        nxc_out = (nx - 1) // 2
+        out_specs.append(
+            pl.BlockSpec((t // 2, nxc_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((R // 2, nxc_out), u.dtype))
+
+    with _x64_scope(u.dtype):
+        return pl.pallas_call(
+            _make_dist_kernel(t, g, h, steps, emit, correct),
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+            out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(*args)

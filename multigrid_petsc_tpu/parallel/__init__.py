@@ -1,6 +1,16 @@
 from multigrid_petsc_tpu.parallel.device_mesh import (
-    make_device_mesh,
     ShardingPlan,
+    make_device_mesh,
+    make_row_mesh,
+    row_plan,
 )
+from multigrid_petsc_tpu.parallel.dist_ops import DistLevelOps, dist_viable
 
-__all__ = ["make_device_mesh", "ShardingPlan"]
+__all__ = [
+    "ShardingPlan",
+    "make_device_mesh",
+    "make_row_mesh",
+    "row_plan",
+    "DistLevelOps",
+    "dist_viable",
+]

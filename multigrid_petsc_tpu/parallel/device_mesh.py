@@ -51,17 +51,37 @@ def make_device_mesh(devices=None, shape: tuple[int, int] | None = None) -> Mesh
 
 @dataclass(frozen=True)
 class ShardingPlan:
-    """Decides each grid's sharding: 2-D block-sharded or replicated.
+    """Decides each grid's sharding: 2-D block-sharded, 1-D row-sharded,
+    or replicated.
 
     ``min_local`` is the minimum interior points per device per dimension
     below which a grid is agglomerated (replicated on all devices).
+
+    ``layout`` is the TPU counterpart of the reference's ``-map`` ordering
+    styles (src/matbuild.c:146-323 decided how composite unknowns were laid
+    out over the MPI ranks):
+      * ``"blocks"`` — 2-D block partition over the (my, mx) mesh, minimal
+        halo perimeter; distribution via GSPMD sharding propagation.
+      * ``"rows"`` — 1-D block-row partition over all devices (the
+        reference's actual GetRanges decomposition, src/matbuild.c:120-144)
+        on a (P, 1) mesh.  Row-sharded levels additionally run the FUSED
+        Pallas kernels per device under shard_map with ppermute halo
+        exchange (parallel/dist_ops.py) — the production distributed hot
+        path.  Build with ``row_plan()``.
     """
 
     mesh: Mesh
     min_local: int = 32
+    layout: str = "blocks"
 
     def spec(self, ny: int, nx: int) -> P:
         my, mx = self.mesh.devices.shape
+        if self.layout == "rows":
+            # Row partition counts the single pad row sharded levels carry
+            # (ny + 1 rows; see parallel/dist_ops.py).
+            if (ny + 1) % my == 0 and (ny + 1) // my >= self.min_local:
+                return P("y", None)
+            return P(None, None)
         shard_y = ny // my >= self.min_local
         shard_x = nx // mx >= self.min_local
         if shard_y and shard_x:
@@ -83,6 +103,21 @@ class ShardingPlan:
 
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(None, None))
+
+
+def make_row_mesh(devices=None) -> Mesh:
+    """(P, 1) device mesh for the 1-D row-partition layout: axis 'y' spans
+    every device, axis 'x' is trivial."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    arr = np.array(devices).reshape(len(devices), 1)
+    return Mesh(arr, ("y", "x"))
+
+
+def row_plan(devices=None, min_local: int = 32) -> ShardingPlan:
+    """Row-partition sharding plan (layout='rows'): the distributed-Pallas
+    production path.  See ShardingPlan.layout."""
+    return ShardingPlan(make_row_mesh(devices), min_local=min_local,
+                        layout="rows")
 
 
 def put_sharded(x, sharding: NamedSharding):

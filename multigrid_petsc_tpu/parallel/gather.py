@@ -15,13 +15,20 @@ import jax
 import numpy as np
 
 
-def gather_solution(u) -> np.ndarray:
-    """Fine-grid solution as a host numpy array, on every process."""
+def gather_solution(u, interior_shape: tuple[int, int] | None = None) -> np.ndarray:
+    """Fine-grid solution as a host numpy array, on every process.
+
+    ``interior_shape`` strips distributed pad rows/cols when the caller
+    passes raw (padded) level-0 state instead of SolveResult.u."""
     arr = u[0] if isinstance(u, tuple) else u
     if isinstance(arr, np.ndarray):
-        return arr
-    if jax.process_count() > 1:  # pragma: no cover (needs multi-host)
+        out = arr
+    elif isinstance(arr, jax.Array) and not arr.is_fully_addressable:
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
-    return np.asarray(arr)
+        out = np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    else:
+        out = np.asarray(arr)
+    if interior_shape is not None:
+        out = out[: interior_shape[0], : interior_shape[1]]
+    return out

@@ -48,6 +48,13 @@ class LevelCtx:
     smooth: Callable[[State, State, int], State] = None  # (b, u, sweeps)
     lmax: float | None = None  # Chebyshev bound on spec(D^-1 A), if used
     shardings: tuple | None = None  # per-grid NamedSharding (distributed mode)
+    # Distributed fused-Pallas path (row-partition plans): state arrays on
+    # this level carry ``pad_rows`` extra zero rows (so ny+1 divides the
+    # device count) and every operator delegates to ``dist``
+    # (parallel/dist_ops.DistLevelOps: shard_map + ppermute halos around
+    # the fused kernels).  Single-grid levels only.
+    pad_rows: int = 0
+    dist: object | None = None
     coarse_solve: Callable | None = None  # real coarsest-level solver
     use_pallas_apply: bool = False  # fused Pallas SpMV on this level
     # Explicit sparse backend (cfg.backend == "sparse"): the level operator
@@ -65,9 +72,19 @@ class LevelCtx:
     visit_down: Callable = None
     visit_up: Callable = None
 
+    @property
+    def padded_shapes(self) -> list[tuple[int, int]]:
+        """Per-grid state-array shapes (incl. the distributed pad row)."""
+        return [
+            (g.ny + (self.pad_rows if k == 0 else 0), g.nx)
+            for k, g in enumerate(self.spec.grids)
+        ]
+
     def apply(self, u: State) -> State:
         from multigrid_petsc_tpu.ops.stencil import Stencil9, apply_stencil9
 
+        if self.dist is not None:
+            return (self.dist.apply(u[0]),)
         if self.sparse_full is not None:
             return self.sparse_full.apply(u)
         if isinstance(self.stencils[0], Stencil9):
@@ -104,6 +121,8 @@ class LevelCtx:
         )
 
     def residual(self, b: State, u: State) -> State:
+        if self.dist is not None:
+            return (self.dist.residual(b[0], u[0]),)
         if self.sparse_full is not None:
             au = self.sparse_full.apply(u)
             return tuple(bk - ak for bk, ak in zip(b, au))
@@ -125,7 +144,7 @@ class LevelCtx:
         return tuple(bk - ak for bk, ak in zip(b, au))
 
     def zeros(self, dtype) -> State:
-        z = tuple(jnp.zeros(g.shape, dtype) for g in self.spec.grids)
+        z = tuple(jnp.zeros(s, dtype) for s in self.padded_shapes)
         return self.constrain(z)
 
     def constrain(self, state: State) -> State:
@@ -151,6 +170,19 @@ class MGContext:
     dtype: object = jnp.float64
 
     # -- inter-level transfers (reference: src/solver.c:1035-1154 Res/Pro) --
+    # Pad handling: distributed-Pallas levels carry one extra zero row (see
+    # LevelCtx.pad_rows); transfers strip it before the jnp multi-gap
+    # restriction/prolongation and re-add it on padded targets.  When BOTH
+    # ends are padded adjacent single-grid levels, the fused kernels have
+    # already produced the target layout and the transfer is the identity.
+
+    def _strip_pad(self, l: int, x: jnp.ndarray, coarse: bool = False):
+        lvl = self.levels[l]
+        if not lvl.pad_rows:
+            return x
+        ny = lvl.spec.primary.ny
+        return x[: ((ny - 1) // 2 if coarse else ny)]
+
     def restrict_to_next(self, l: int, r_primary: jnp.ndarray) -> State:
         """Restrict level l's primary-grid residual to ALL grids of level
         l+1 (composed multi-gap restriction for merged coarse grids).
@@ -158,24 +190,41 @@ class MGContext:
         shardings — the level-layout change (possibly an agglomerating
         all-gather) rides this transfer."""
         g0 = self.levels[l].spec.primary.g
-        nxt = self.levels[l + 1].spec
-        out = tuple(restrict_multi(r_primary, g.g - g0) for g in nxt.grids)
-        return self.levels[l + 1].constrain(out)
+        nxtc = self.levels[l + 1]
+        r_primary = self._strip_pad(l, r_primary)
+        out = [restrict_multi(r_primary, g.g - g0) for g in nxtc.spec.grids]
+        if nxtc.pad_rows:
+            out[0] = jnp.pad(out[0], ((0, nxtc.pad_rows), (0, 0)))
+        return nxtc.constrain(tuple(out))
 
     def prolong_from_next(self, l: int, u_next: State) -> jnp.ndarray:
         """Prolong ALL grids of level l+1 onto level l's primary grid and
         sum (reference: Pro builds one matrix doing exactly this sum)."""
         g0 = self.levels[l].spec.primary.g
-        nxt = self.levels[l + 1].spec
+        nxtc = self.levels[l + 1]
         out = None
-        for g, ug in zip(nxt.grids, u_next):
+        for g, ug in zip(nxtc.spec.grids, u_next):
+            if nxtc.pad_rows:
+                ug = ug[: g.ny]
             e = prolong_multi(ug, g.g - g0)
             out = e if out is None else out + e
+        if self.levels[l].pad_rows:
+            out = jnp.pad(out, ((0, self.levels[l].pad_rows), (0, 0)))
         if self.levels[l].shardings is not None:
             out = jax.lax.with_sharding_constraint(
                 out, self.levels[l].shardings[0]
             )
         return out
+
+    def _adjacent_padded(self, l: int) -> bool:
+        """True when levels l and l+1 are both padded distributed levels
+        one coarsening apart — the fused kernels then speak each other's
+        layout directly."""
+        cur, nxt = self.levels[l], self.levels[l + 1]
+        return bool(
+            cur.pad_rows and nxt.pad_rows and not nxt.spec.is_composite
+            and nxt.spec.primary.g - cur.spec.primary.g == 1
+        )
 
     # -- split transfers for the fused level visits (vcycle.v_cycle) --
     # The first restriction/last prolongation gap rides inside the fused
@@ -184,20 +233,33 @@ class MGContext:
         """Finish restriction given rc1 = restrict_fw(r) already at one
         gap below level l's primary grid."""
         g0 = self.levels[l].spec.primary.g
-        nxt = self.levels[l + 1].spec
-        out = tuple(restrict_multi(rc1, g.g - g0 - 1) for g in nxt.grids)
-        return self.levels[l + 1].constrain(out)
+        nxtc = self.levels[l + 1]
+        if self._adjacent_padded(l):
+            return nxtc.constrain((rc1,))
+        rc1 = self._strip_pad(l, rc1, coarse=True)
+        out = [restrict_multi(rc1, g.g - g0 - 1) for g in nxtc.spec.grids]
+        if nxtc.pad_rows:
+            out[0] = jnp.pad(out[0], ((0, nxtc.pad_rows), (0, 0)))
+        return nxtc.constrain(tuple(out))
 
     def prolong_half(self, l: int, u_next: State) -> jnp.ndarray:
         """Prolong level l+1's grids to ONE gap below level l's primary
         grid and sum (the final gap is applied by visit_up; identical to
         prolong_from_next by linearity of the bilinear stencil)."""
         g0 = self.levels[l].spec.primary.g
-        nxt = self.levels[l + 1].spec
+        nxtc = self.levels[l + 1]
+        if self._adjacent_padded(l):
+            return u_next[0]
         out = None
-        for g, ug in zip(nxt.grids, u_next):
+        for g, ug in zip(nxtc.spec.grids, u_next):
+            if nxtc.pad_rows:
+                ug = ug[: g.ny]
             e = prolong_multi(ug, g.g - g0 - 1)
             out = e if out is None else out + e
+        if self.levels[l].pad_rows:
+            # The fused visit_up consumes the coarse correction in the
+            # padded coarse layout ((ny-1)/2 + 1 rows).
+            out = jnp.pad(out, ((0, self.levels[l].pad_rows), (0, 0)))
         return out
 
 
@@ -237,12 +299,93 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
         return False
 
 
+def _use_dist(lc: LevelCtx, cfg: SolverConfig, plan, dtype) -> bool:
+    """Row-partition plans route eligible levels through the distributed
+    fused-Pallas path (shard_map + ppermute halos, parallel/dist_ops.py).
+    Eligible: single-grid 5-point level, jacobi/chebyshev smoother, rows
+    actually sharded (not agglomerated), block sizes that carry the halo.
+    Non-TPU platforms run the kernels in interpreter mode (the virtual-mesh
+    test tier); 64-bit data on TPU keeps the exact GSPMD path (compiled
+    Mosaic would silently demote f64, same policy as _use_pallas)."""
+    from multigrid_petsc_tpu.parallel.dist_ops import dist_viable
+
+    if plan is None or getattr(plan, "layout", "blocks") != "rows":
+        return False
+    if cfg.backend in ("xla", "sparse"):
+        return False
+    if lc.spec.is_composite or not isinstance(lc.stencils[0], Stencil5):
+        return False
+    if cfg.smoother not in (SmootherType.JACOBI, SmootherType.CHEBYSHEV):
+        return False
+    g = lc.spec.primary
+    if plan.spec(g.ny, g.nx)[0] != "y":
+        return False  # agglomerated (replicated) level
+    if not dist_viable(g.ny, int(plan.mesh.devices.size), max(cfg.v)):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    if platform != "tpu":
+        # Interpreter-mode kernels are for the virtual-mesh test tier:
+        # require the explicit backend='pallas' opt-in (backend='auto' on
+        # CPU keeps the compiled GSPMD path).
+        return cfg.backend == "pallas"
+    if jnp.dtype(dtype).itemsize >= 8:
+        if cfg.backend == "pallas":
+            raise ValueError(
+                "backend='pallas' with 64-bit dtype on TPU would silently "
+                "demote f64 math in compiled Mosaic kernels; use "
+                "dtype='float32' (+ outer_dtype='float64') or backend='auto'"
+            )
+        return False
+    return True
+
+
 def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
     from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
         fused_visit_viable,
     )
 
     kind = cfg.smoother
+    if ctx.dist is not None:
+        # Distributed fused path: the smoother IS the fused kernel; wire
+        # its (alpha, beta) step schedule from the configured smoother.
+        from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+            chebyshev_step_coeffs,
+            jacobi_step_coeffs,
+        )
+
+        if kind == SmootherType.JACOBI:
+            ctx.dist.steps_fn = lambda s: jacobi_step_coeffs(s, cfg.omega)
+        elif kind == SmootherType.CHEBYSHEV:
+            # Estimate on the REAL-shape stencil operator so lmax (and the
+            # Chebyshev step schedule) is bit-identical to the
+            # single-device path — pad rows would otherwise perturb the
+            # power iteration and the residual histories with it.
+            from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+
+            st0 = ctx.stencils[0]
+            lmax = float(
+                sm.estimate_dinv_a_lmax(
+                    lambda u: (apply_stencil5(st0, u[0]),),
+                    (1.0 / st0.cc,),
+                    [ctx.spec.primary.shape],
+                    dtype=jnp.asarray(st0.cc).dtype,
+                )
+            )
+            ctx.lmax = lmax
+            ctx.dist.steps_fn = lambda s: chebyshev_step_coeffs(s, lmax)
+        else:  # pragma: no cover - guarded in build_context
+            raise ValueError(
+                f"distributed Pallas path supports jacobi/chebyshev, "
+                f"not {kind}"
+            )
+
+        def smooth(b, u, sweeps, _ctx=ctx):
+            return (_ctx.dist.smooth(b[0], u[0], sweeps),)
+
+        return smooth
     # Fused k-sweep smoother kernels need a k-row halo carry; pre-check so
     # huge sweep counts fall back to the jnp smoothers instead of raising
     # at trace time (the smoothers' documented ValueError condition).
@@ -402,6 +545,19 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         fused_visit_viable,
     )
 
+    if lc.dist is not None:
+        def visit_down(b, u, sweeps, _lc=lc):
+            u0, rc1 = _lc.dist.visit_down(b[0], u[0], sweeps)
+            return (u0,), rc1
+
+        def visit_up(b, u, e_c, sweeps, emit_r=False, _lc=lc):
+            out = _lc.dist.visit_up(b[0], u[0], e_c, sweeps, emit_r)
+            if emit_r:
+                return (out[0],), (out[1],)
+            return (out,)
+
+        return visit_down, visit_up
+
     steps_fn = None
     # Fused visits (smooth+residual+transfer in one kernel) exist for the
     # 5-point family only; 9-point levels compose the (still-Pallas)
@@ -533,6 +689,22 @@ def build_context(
         dinv = tuple(1.0 / st.cc for st in stencils)
         lc = LevelCtx(spec=spec, stencils=stencils, dinv=dinv,
                       shardings=shardings)
+        if _use_dist(lc, cfg, plan, dtype):
+            from multigrid_petsc_tpu.parallel.dist_ops import DistLevelOps
+
+            g0 = spec.primary
+            lc.pad_rows = 1  # ny + 1 rows divide the device count exactly
+            lc.dist = DistLevelOps(
+                stencils[0], g0.ny, g0.nx, plan.mesh, dtype,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+            d0 = dinv[0]
+            if getattr(d0, "ndim", 0) == 2 and d0.shape[0] == g0.ny:
+                # Pad the Jacobi diagonal with the absorbing identity so it
+                # broadcasts against the (ny+1, nx) padded state.
+                lc.dinv = (
+                    jnp.concatenate([d0, jnp.ones((1, 1), d0.dtype)]),
+                )
         if use_sparse:
             from multigrid_petsc_tpu.ops.sparse import SparseLevelOp
 
@@ -564,15 +736,21 @@ def build_context(
         from multigrid_petsc_tpu.solvers import coarse as coarse_mod
 
         last = levels[-1]
-        shapes = [g.shape for g in last.spec.grids]
+        shapes = last.padded_shapes
         n_unknowns = sum(ny * nx for ny, nx in shapes)
         mode = cfg.coarse_solver
         if mode == "auto":
             mode = "direct" if n_unknowns <= cfg.max_direct_size else "cg"
+        if mode == "direct" and last.pad_rows:
+            # Densifying probes vmap the operator; the distributed
+            # shard_map apply doesn't vmap — iterate CG instead (a sharded
+            # coarsest level is already unusual).
+            mode = "cg"
         if mode == "direct":
+            use_analytic = not last.spec.is_composite and not last.pad_rows
             last.coarse_solve = coarse_mod.build_direct_solver(
                 last.apply, shapes, dtype,
-                stencils=None if last.spec.is_composite else last.stencils,
+                stencils=last.stencils if use_analytic else None,
             )
         elif mode == "cg":
             last.coarse_solve = coarse_mod.build_cg_solver(
@@ -592,6 +770,8 @@ def build_context(
     else:
         f0 = rhs_grid(problem, mesh_type, spec0.primary.ny, spec0.primary.nx, dtype)
     b0 = composite_rhs(f0, spec0.gids)
+    if levels[0].pad_rows:
+        b0 = (jnp.pad(b0[0], ((0, levels[0].pad_rows), (0, 0))),) + b0[1:]
     if plan is not None:
         from multigrid_petsc_tpu.parallel.device_mesh import put_sharded
 

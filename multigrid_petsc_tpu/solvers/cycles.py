@@ -30,18 +30,51 @@ from multigrid_petsc_tpu.solvers.context import MGContext, State
 from multigrid_petsc_tpu.solvers.outer import OuterResult, outer_iterate
 
 
+def _grid_monitor(ctx: MGContext, residual_fn, b: State):
+    """moreNorm monitor for the merged-grid one-level cycles: per outer
+    iteration record the global residual norm and the per-grid residual
+    2-norms (the rNormGridMonitor analogue for I/E cycles — the reference
+    wires KSPSetResidualHistory + monitors there,
+    src/solver.c:2017-2018, 2225-2227; per-grid splitting via IS sub-views
+    src/solver.c:1382-1399)."""
+    cfg = ctx.config
+    lvl = ctx.levels[0]
+    G = len(lvl.spec.grids)
+    length = min(cfg.max_iter, cfg.hist_len) + 1
+    dtype = ctx.dtype
+    aux0 = {
+        "r_global": jnp.zeros(length, dtype),
+        "r_grid": jnp.zeros((G, length), dtype),
+    }
+
+    def update(aux, i, u, rn):
+        rr = residual_fn(b, u)
+        idx = jnp.minimum(i, length - 1)
+        r_global = aux["r_global"].at[idx].set(rn)
+        r_grid = aux["r_grid"]
+        for g in range(G):
+            r_grid = r_grid.at[g, idx].set(
+                jnp.sqrt(jnp.vdot(rr[g], rr[g]).real)
+            )
+        return {"r_global": r_global, "r_grid": r_grid}
+
+    return aux0, update
+
+
 def solve_icycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """One smoother sweep per outer iteration on the full composite
     operator (couplings included in the matvec)."""
     cfg = ctx.config
     lvl = ctx.levels[0]
+    b = ctx.b0 if b0 is None else b0
 
     def step(b, u):
         return lvl.smooth(b, u, 1)
 
     return outer_iterate(
-        step, lvl.residual, ctx.b0 if b0 is None else b0, lvl.zeros(ctx.dtype),
+        step, lvl.residual, b, lvl.zeros(ctx.dtype),
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
+        monitor=_grid_monitor(ctx, lvl.residual, b) if cfg.more_norm else None,
     )
 
 
@@ -60,6 +93,7 @@ def solve_ecycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     v0 = cfg.v[0]
     lvl = ctx.levels[0]
     sm = _diag_smoother(ctx, lvl)
+    b = ctx.b0 if b0 is None else b0
 
     def step(b, u):
         a2u = lvl.apply_couplings(u)
@@ -71,8 +105,9 @@ def solve_ecycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
         return tuple(bk - ak for bk, ak in zip(b, a1u))
 
     return outer_iterate(
-        step, residual_diag, ctx.b0 if b0 is None else b0, lvl.zeros(ctx.dtype),
+        step, residual_diag, b, lvl.zeros(ctx.dtype),
         cfg.max_iter, cfg.rtol, cfg.divtol, cfg.hist_len,
+        monitor=_grid_monitor(ctx, residual_diag, b) if cfg.more_norm else None,
     )
 
 

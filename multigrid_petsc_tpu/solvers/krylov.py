@@ -150,10 +150,17 @@ def solve_mgcg_mixed(
             & (rn > cfg.rtol * bnorm)
         )
 
+    pad0 = lvl0.pad_rows  # distributed levels: inner solve is padded
+
     def body(c):
         u, i, rn, hist = c
         r = b - apply64(u)
-        e = solve_mgcg(inner_ctx, (r.astype(ctx.dtype),)).u[0]
+        r_in = r.astype(ctx.dtype)
+        if pad0:
+            r_in = jnp.pad(r_in, ((0, pad0), (0, 0)))
+        e = solve_mgcg(inner_ctx, (r_in,)).u[0]
+        if pad0:
+            e = e[: g0.ny]
         u = u + e.astype(odt)
         rn = jnp.linalg.norm((b - apply64(u)).ravel())
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
@@ -187,7 +194,7 @@ def solve_mgfgmres(ctx: MGContext, b0: State | None = None, restart: int = 10) -
     cfg = ctx.config
     v0, v1 = cfg.v
     lvl0 = ctx.levels[0]
-    shapes = [g.shape for g in lvl0.spec.grids]
+    shapes = lvl0.padded_shapes
     m = restart
     b = ctx.b0 if b0 is None else b0
     hist_len = cfg.hist_len

@@ -86,6 +86,7 @@ def solve(
     plan=None,
     u0=None,
     timed: bool = False,
+    profile_phases: bool = False,
 ) -> SolveResult:
     """Set up (unless given a prebuilt context) and run the configured
     solver.  ``plan`` (a parallel.ShardingPlan) enables the distributed
@@ -144,6 +145,12 @@ def solve(
             u0 = None
         else:
             u0 = tuple(jnp.asarray(x, ctx.dtype) for x in u0)
+            if ctx.levels[0].pad_rows:
+                # Distributed levels carry pad rows; lift the (real-shape)
+                # warm start into the padded state space.
+                u0 = (
+                    jnp.pad(u0[0], ((0, ctx.levels[0].pad_rows), (0, 0))),
+                ) + u0[1:]
             bn_orig = float(tree_norm2(b_in))
             b_in = jax.jit(ctx.levels[0].residual)(b_in, u0)
             bn_new = float(tree_norm2(b_in))
@@ -177,15 +184,36 @@ def solve(
     hist = np.asarray(res.rnorm_history)[: iters + 1]
     aux = None
     if res.aux is not None:
-        # Truncate monitor arrays to the iterations actually run.
-        n_inner = iters * (cfg.v[0] + 1)
+        # Truncate monitor arrays to the iterations actually run: the
+        # delayed cycles record (v+1) inner entries per outer iteration
+        # (src/solver.c:2534-2536 sizing), the I/E monitors one entry per
+        # outer iteration incl. the initial state.
+        if cfg.cycle in (
+            CycleType.D1CYCLE, CycleType.D2CYCLE, CycleType.D1PSCYCLE
+        ):
+            n_inner = iters * (cfg.v[0] + 1)
+        else:
+            n_inner = iters + 1
         aux = {
             "r_global": np.asarray(res.aux["r_global"])[:n_inner],
             "r_grid": np.asarray(res.aux["r_grid"])[:, :n_inner],
         }
+    phases = {"compile": t_compile, "solve": t1w - t0w}
+    if profile_phases:
+        # Per-phase building-block breakdown — the -log_view analogue
+        # (reference: src/solver.c:1528-1551 PetscLogStage "Solver").
+        from multigrid_petsc_tpu.utils.profiling import phase_breakdown
+
+        phases.update(phase_breakdown(ctx))
+
     u_out = res.u
     if u0 is not None:
         u_out = tuple(a + b for a, b in zip(u_out, u0))
+    pad0 = ctx.levels[0].pad_rows
+    if pad0 and u_out[0].shape[0] != ctx.levels[0].spec.primary.ny:
+        # Strip the distributed pad row: results are reported in the real
+        # interior-grid shape (the mixed-precision outer already is).
+        u_out = (u_out[0][: ctx.levels[0].spec.primary.ny],) + u_out[1:]
     return SolveResult(
         u=tuple(np.asarray(x) for x in u_out),
         rnorm=hist,
@@ -195,5 +223,5 @@ def solve(
         cpu_time=t1c - t0c,
         ctx=ctx,
         aux=aux,
-        phases={"compile": t_compile, "solve": t1w - t0w},
+        phases=phases,
     )

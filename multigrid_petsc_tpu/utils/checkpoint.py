@@ -28,8 +28,29 @@ def _fingerprint(cfg) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _to_host(x) -> np.ndarray:
+    """Sharding-aware host materialization: multi-host sharded arrays are
+    gathered over DCN with process_allgather (np.asarray on a
+    non-fully-addressable array would fail); everything else is a plain
+    copy (reference GetSol analogue: src/solver.c:1239-1315)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def save(path: str | Path, cfg, u, rnorm, iters: int) -> None:
+    """Write the checkpoint (every process computes the gathered state;
+    only process 0 writes in a multi-host run)."""
+    import jax
+
     path = Path(path)
+    arrays = {f"u{i}": _to_host(x) for i, x in enumerate(u)}
+    if jax.process_index() != 0:  # pragma: no cover (needs multi-host)
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(
         path,
@@ -37,7 +58,7 @@ def save(path: str | Path, cfg, u, rnorm, iters: int) -> None:
         iters=np.int64(iters),
         rnorm=np.asarray(rnorm),
         n_grids=np.int64(len(u)),
-        **{f"u{i}": np.asarray(x) for i, x in enumerate(u)},
+        **arrays,
     )
 
 

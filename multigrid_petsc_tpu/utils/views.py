@@ -73,3 +73,53 @@ def view_operator(ctx, level: int = 0, max_rows: int = 8) -> str:
         )
         lines.append(f"  row {r}: {ents}")
     return "\n".join(lines)
+
+
+def view_solver(ctx) -> str:
+    """Per-level solver dump — the KSPView analogue (reference:
+    src/solver.c:1560-1564 dumps every level's KSP after the solve:
+    smoother type, iteration counts, preconditioner).  Reports each
+    level's grids, operator backend, smoother configuration, layout
+    (sharding / pad), and the coarsest-level solver choice."""
+    cfg = ctx.config
+    lines = [
+        f"solver: cycle={cfg.cycle.name} v={cfg.v} rtol={cfg.rtol:g} "
+        f"divtol={cfg.divtol:g} dtype={cfg.dtype}"
+        + (f" outer_dtype={cfg.outer_dtype}" if cfg.outer_dtype else "")
+    ]
+    L = len(ctx.levels)
+    for l, lvl in enumerate(ctx.levels):
+        gs = ", ".join(f"g{g.g}:{g.ny}x{g.nx}" for g in lvl.spec.grids)
+        if lvl.dist is not None:
+            backend = (f"pallas-dist(shard_map x{lvl.dist.P}, "
+                       f"R={lvl.dist.R}, pad={lvl.pad_rows})")
+        elif lvl.sparse_full is not None:
+            sp = lvl.sparse_full
+            form = ("stencil" if sp.stencil_form is not None
+                    else "dia" if sp.dia is not None else "ell")
+            backend = f"sparse({form}, nnz={sp.nnz})"
+        elif lvl.use_pallas_apply:
+            backend = "pallas-fused"
+        else:
+            backend = "xla"
+        if lvl.spec.is_composite:
+            smoother = f"{cfg.composite_smoother}(inner={cfg.v[0]})"
+        else:
+            smoother = cfg.smoother.value
+            if cfg.smoother.value == "chebyshev" and lvl.lmax is not None:
+                smoother += f"(lmax={lvl.lmax:.4g})"
+            elif cfg.smoother.value == "jacobi":
+                smoother += f"(omega={cfg.omega})"
+        sweeps = cfg.v[1] if (l == L - 1 and L > 1) else cfg.v[0]
+        layout = ""
+        if lvl.shardings is not None:
+            layout = f" layout={tuple(lvl.shardings[0].spec)}"
+        coarse = ""
+        if l == L - 1 and L > 1:
+            coarse = (" coarse=smooth" if lvl.coarse_solve is None
+                      else f" coarse={cfg.coarse_solver}")
+        lines.append(
+            f"level {l}: [{gs}] op={backend} smoother={smoother} "
+            f"sweeps={sweeps}{layout}{coarse}"
+        )
+    return "\n".join(lines)

@@ -1,0 +1,210 @@
+"""Distributed fused-Pallas path (shard_map + ppermute halos) on the
+8-virtual-device CPU mesh, interpreter mode.
+
+This is the composition test the reference's hot path demands: every
+operator application distributed with a halo exchange under it (reference:
+src/solver.c:1516,1535,1540 MatMult on the row partition), here with the
+FUSED kernels active on every sharded level — the solves must match the
+single-device path iteration-for-iteration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from multigrid_petsc_tpu.mesh import MeshType
+from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
+from multigrid_petsc_tpu.parallel.device_mesh import make_row_mesh, row_plan
+from multigrid_petsc_tpu.parallel.dist_ops import DistLevelOps, dist_viable
+from multigrid_petsc_tpu.problems import stencil_coefficients
+from multigrid_petsc_tpu.solvers.solve import solve
+from multigrid_petsc_tpu.utils.config import (
+    CycleType,
+    SmootherType,
+    SolverConfig,
+)
+
+NDEV = 8
+
+
+def _pad1(x):
+    return jnp.pad(x, ((0, 1), (0, 0)))
+
+
+def _mk_ops(ny=63, nx=63, mesh_type=MeshType.NONUNIFORM2, omega=0.8):
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        jacobi_step_coeffs,
+    )
+
+    st = stencil_coefficients(mesh_type, ny, nx)
+    ops = DistLevelOps(
+        st, ny, nx, make_row_mesh(), jnp.float64,
+        steps_fn=lambda s: jacobi_step_coeffs(s, omega),
+        interpret=True,
+    )
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    return st, ops, u, b
+
+
+def _jacobi_ref(st, b, u, sweeps, omega=0.8):
+    dinv = 1.0 / st.cc
+    for _ in range(sweeps):
+        u = u + omega * dinv * (b - apply_stencil5(st, u))
+    return u
+
+
+def test_dist_apply_residual_match():
+    st, ops, u, b = _mk_ops()
+    got = np.asarray(ops.apply(_pad1(u)))
+    exp = np.asarray(apply_stencil5(st, u))
+    np.testing.assert_allclose(got[:-1], exp, rtol=1e-12, atol=1e-12)
+    assert np.all(got[-1] == 0.0)  # pad row stays exactly zero
+
+    got_r = np.asarray(ops.residual(_pad1(b), _pad1(u)))
+    np.testing.assert_allclose(got_r[:-1], np.asarray(b) - exp,
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(got_r[-1] == 0.0)
+
+
+def test_dist_smooth_matches_jacobi():
+    st, ops, u, b = _mk_ops()
+    got = np.asarray(ops.smooth(_pad1(b), _pad1(u), 3))
+    exp = np.asarray(_jacobi_ref(st, b, u, 3))
+    np.testing.assert_allclose(got[:-1], exp, rtol=1e-12, atol=1e-12)
+    assert np.all(got[-1] == 0.0)
+
+
+def test_dist_visit_down_up_match_composition():
+    """Fused distributed visits == smooth/residual/transfer composition."""
+    st, ops, u, b = _mk_ops()
+    u1, rc = ops.visit_down(_pad1(b), _pad1(u), 3)
+    u_exp = _jacobi_ref(st, b, u, 3)
+    rc_exp = restrict_fw(b - apply_stencil5(st, u_exp))
+    np.testing.assert_allclose(np.asarray(u1)[:-1], np.asarray(u_exp),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rc)[:-1], np.asarray(rc_exp),
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(np.asarray(rc)[-1] == 0.0)  # coarse pad row pinned
+
+    rng = np.random.default_rng(6)
+    e = jnp.asarray(rng.standard_normal(rc_exp.shape))
+    u2, r2 = ops.visit_up(_pad1(b), _pad1(u), _pad1(e), 3, True)
+    u_exp2 = _jacobi_ref(st, b, u + prolong_bilinear(e), 3)
+    r_exp2 = b - apply_stencil5(st, u_exp2)
+    np.testing.assert_allclose(np.asarray(u2)[:-1], np.asarray(u_exp2),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2)[:-1], np.asarray(r_exp2),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dist_multi_slab_per_device():
+    """g >= 2 slabs per device (the production shape at bench sizes):
+    force a small tile through the kernel directly."""
+    from multigrid_petsc_tpu.ops.pallas.dist_kernel import (
+        dist_coeff_slabs,
+        dist_level_visit_local,
+    )
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        jacobi_step_coeffs,
+    )
+
+    ny = nx = 127
+    R = (ny + 1) // NDEV  # 16 rows/device
+    t = 8  # -> g = 2 slabs per device
+    steps = jacobi_step_coeffs(2, 0.8)
+    st = stencil_coefficients(MeshType.NONUNIFORM1, ny, nx)
+    slabs = dist_coeff_slabs(st, ny, R, NDEV, t, 4, jnp.float64)
+    mesh = make_row_mesh()
+
+    import functools
+
+    body = functools.partial(
+        dist_level_visit_local, steps=steps, emit="rc", t=t, interpret=True
+    )
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("y", None, None, None), P("y", None), P("y", None)),
+        out_specs=(P("y", None), P("y", None)),
+        check_vma=False,
+    )
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    u1, rc = fn(jnp.asarray(slabs), _pad1(u), _pad1(b))
+    u_exp = _jacobi_ref(st, b, u, 2)
+    rc_exp = restrict_fw(b - apply_stencil5(st, u_exp))
+    np.testing.assert_allclose(np.asarray(u1)[:-1], np.asarray(u_exp),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rc)[:-1], np.asarray(rc_exp),
+                               rtol=1e-12, atol=1e-12)
+
+
+def _compare_solve(tol=1e-6, plan=None, **kw):
+    ref = solve(SolverConfig(backend="xla", **kw))
+    plan = plan or row_plan(min_local=8)
+    dist = solve(SolverConfig(backend="pallas", **kw), plan=plan)
+    n_dist = sum(1 for l in dist.ctx.levels if l.dist is not None)
+    assert n_dist >= 1, "no level took the distributed Pallas path"
+    assert dist.converged
+    assert dist.iters == ref.iters
+    n = min(len(ref.rnorm), len(dist.rnorm))
+    np.testing.assert_allclose(dist.rnorm[:n], ref.rnorm[:n], rtol=tol,
+                               atol=1e-9)
+    np.testing.assert_allclose(dist.u_fine, ref.u_fine, rtol=tol, atol=1e-12)
+    return dist
+
+
+@pytest.mark.parametrize(
+    "cycle", [CycleType.VCYCLE, CycleType.MGCG, CycleType.PCMG, CycleType.FMG]
+)
+def test_dist_solve_matches_single_device(cycle):
+    dist = _compare_solve(npts=129, grids=4, levels=4, cycle=cycle,
+                          max_iter=60)
+    # 127 and 63 shard+fuse; 31 and 15 agglomerate.
+    assert [l.dist is not None for l in dist.ctx.levels] == [
+        True, True, False, False
+    ]
+
+
+def test_dist_solve_chebyshev():
+    _compare_solve(npts=129, grids=4, levels=4, cycle=CycleType.MGCG,
+                   smoother=SmootherType.CHEBYSHEV, max_iter=60)
+
+
+def test_dist_solve_stretched_mesh():
+    _compare_solve(npts=129, grids=4, levels=4, cycle=CycleType.VCYCLE,
+                   mesh=2, max_iter=80)
+
+
+def test_dist_solve_composite_last_level():
+    """grids > levels: the merged last level stays on the GSPMD path while
+    fine levels run the fused distributed kernels."""
+    _compare_solve(npts=129, grids=5, levels=3, cycle=CycleType.VCYCLE,
+                   max_iter=80)
+
+
+def test_dist_warm_start_resume():
+    cfg = SolverConfig(npts=129, grids=4, levels=4, cycle=CycleType.VCYCLE,
+                       max_iter=3, backend="pallas")
+    plan = row_plan(min_local=8)
+    part = solve(cfg, plan=plan)
+    assert not part.converged
+    import dataclasses
+
+    full = solve(dataclasses.replace(cfg, max_iter=60), plan=plan,
+                 u0=tuple(jnp.asarray(x) for x in part.u))
+    assert full.converged
+    ref = solve(dataclasses.replace(cfg, max_iter=60, backend="xla"))
+    np.testing.assert_allclose(full.u_fine, ref.u_fine, rtol=1e-5, atol=1e-11)
+
+
+def test_dist_viability_rules():
+    assert dist_viable(127, 8, 3)
+    assert not dist_viable(126, 8, 3)  # ny+1 not divisible
+    assert not dist_viable(15, 8, 3)   # R = 2, odd/too small for halo

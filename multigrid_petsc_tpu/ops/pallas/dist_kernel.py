@@ -72,10 +72,20 @@ def _e_halo_rows(h: int) -> tuple[int, int]:
     return th, h + 1 - th
 
 
-def pick_tile(R: int, h: int, cap: int = 256) -> int | None:
+def pick_tile(R: int, h: int, nx: int | None = None, itemsize: int = 4,
+              cap: int = 256) -> int | None:
     """Largest even divisor of the per-device row count ``R`` that is
-    <= cap and can carry the halo (h < t, e-halo <= t//2); None if R
-    cannot host the kernel."""
+    <= cap, can carry the halo (h < t, e-halo <= t//2), and keeps the
+    kernel's VMEM stack within budget; None if R cannot host the kernel.
+
+    VMEM sizing: the fused visit holds ~13 (t+2h, nx)-shaped values live
+    in the worst (correct + 'ur'/'rc') variants; Mosaic's scoped-vmem
+    allocator OOMs past ~100MB (observed 104.3M at t=256, nx=8191), so
+    the row tile shrinks with the row width."""
+    if nx is not None:
+        budget = 80 * 2**20
+        max_t2 = budget // (13 * max(nx, 1) * itemsize)
+        cap = max(2, min(cap, max_t2 - 2 * h))
     th, bh = _e_halo_rows(h)
     for t in range(min(R, cap), 1, -1):
         if R % t == 0 and t % 2 == 0 and t > h and t // 2 >= max(th, bh):

@@ -33,7 +33,8 @@ from multigrid_petsc_tpu.ops.pallas.dist_kernel import (
 )
 
 
-def dist_viable(ny: int, n_devices: int, max_sweeps: int) -> bool:
+def dist_viable(ny: int, n_devices: int, max_sweeps: int,
+                nx: int | None = None) -> bool:
     """Can a (ny, nx) level run the distributed Pallas path on P devices?
     Needs ny+1 divisible by P, an even per-device block, and room for the
     largest halo carry (max_sweeps + 2 rows) in a valid tile."""
@@ -42,7 +43,7 @@ def dist_viable(ny: int, n_devices: int, max_sweeps: int) -> bool:
     R = (ny + 1) // n_devices
     if R % 2:
         return False
-    return pick_tile(R, halo_rows(max_sweeps, "rc")) is not None
+    return pick_tile(R, halo_rows(max_sweeps, "rc"), nx=nx) is not None
 
 
 class DistLevelOps:
@@ -89,7 +90,7 @@ class DistLevelOps:
         if key in self._cache:
             return self._cache[key]
         h = halo_rows(len(steps), emit)
-        t = pick_tile(self.R, h)
+        t = pick_tile(self.R, h, nx=self.nx, itemsize=self.dtype.itemsize)
         if t is None:
             raise ValueError(
                 f"level rows/device R={self.R} cannot carry halo h={h}"

@@ -50,7 +50,29 @@ def main(argv=None) -> int:
         print(f"configuration error: {e}", file=sys.stderr)
         return 1
 
-    res = solve(cfg)
+    # -map selects the distributed layout when more than one device is
+    # attached (the reference's three ordering styles decided how unknowns
+    # were laid out over MPI ranks, src/matbuild.c:146-323): style 2
+    # ("local grid after grid", driven by the fine-grid decomposition —
+    # the default) maps to the 1-D row partition with the fused
+    # distributed kernels; styles 0/1 (grid-after-grid / through-grids)
+    # map to the 2-D block GSPMD plan.
+    plan = None
+    import jax
+
+    if jax.device_count() > 1:
+        from multigrid_petsc_tpu.parallel.device_mesh import (
+            ShardingPlan,
+            make_device_mesh,
+            row_plan,
+        )
+
+        if cfg.map_style == 2:
+            plan = row_plan()
+        else:
+            plan = ShardingPlan(make_device_mesh())
+
+    res = solve(cfg, plan=plan)
     mesh_type = MeshType(cfg.mesh)
     errs = error_norms(res.ctx.problem, mesh_type, res.u_fine)
 

@@ -67,25 +67,41 @@ def dense_from_stencil(st, ny: int, nx: int):
     return a
 
 
+def dense_from_csr(indptr, indices, data):
+    """Dense (N, N) matrix from a host CSR triple (the native composite
+    assembly, ops/sparse.assemble_level_csr) — lets composite coarsest
+    levels densify without O(N) probing matvecs."""
+    import numpy as np
+
+    N = len(indptr) - 1
+    a = np.zeros((N, N))
+    rows = np.repeat(np.arange(N), np.diff(indptr))
+    a[rows, np.asarray(indices)] = np.asarray(data)
+    return a
+
+
 def build_direct_solver(
-    apply_fn: Callable, shapes, dtype, stencils=None
+    apply_fn: Callable, shapes, dtype, stencils=None, dense=None
 ) -> Callable:
     """Build A once, invert on host, return b -> A^-1 b.
 
     Non-composite levels (``stencils`` given, one grid) assemble A
-    analytically from the stencil coefficients; composite levels probe the
-    matrix-free apply column-by-column (the couplings have no closed dense
-    form here).  The inversion happens on host in f64 at setup (LAPACK;
-    TPU XLA has no f64 LU, and a one-time host factorization is the right
-    place for it — the analogue of the reference's assembly step).  The
-    per-cycle application is a single dense (N, N) matvec — MXU work on
-    TPU.
+    analytically from the stencil coefficients; composite poisson-family
+    levels pass ``dense`` assembled from the native CSR engine.  Only
+    operators with no explicit form left (e.g. padded/exotic composites)
+    probe the matrix-free apply column-by-column.  The inversion happens
+    on host in f64 at setup (LAPACK; TPU XLA has no f64 LU, and a
+    one-time host factorization is the right place for it — the analogue
+    of the reference's assembly step).  The per-cycle application is a
+    single dense (N, N) matvec — MXU work on TPU.
     """
     import numpy as np
 
     N = sum(ny * nx for ny, nx in shapes)
 
-    if stencils is not None and len(shapes) == 1:
+    if dense is not None:
+        a = np.asarray(dense, dtype=np.float64)
+    elif stencils is not None and len(shapes) == 1:
         a = dense_from_stencil(stencils[0], *shapes[0])
     else:
         def mv(xflat):

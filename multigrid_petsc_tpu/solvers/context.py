@@ -320,7 +320,8 @@ def _use_dist(lc: LevelCtx, cfg: SolverConfig, plan, dtype) -> bool:
     g = lc.spec.primary
     if plan.spec(g.ny, g.nx)[0] != "y":
         return False  # agglomerated (replicated) level
-    if not dist_viable(g.ny, int(plan.mesh.devices.size), max(cfg.v)):
+    if not dist_viable(g.ny, int(plan.mesh.devices.size), max(cfg.v),
+                       nx=g.nx):
         return False
     try:
         platform = jax.devices()[0].platform
@@ -748,9 +749,22 @@ def build_context(
             mode = "cg"
         if mode == "direct":
             use_analytic = not last.spec.is_composite and not last.pad_rows
+            dense = None
+            if last.spec.is_composite and cfg.problem == "poisson":
+                # Composite coarsest: assemble the dense operator (incl.
+                # R A_h / A_h P couplings) from the native CSR engine
+                # instead of O(N) probing matvecs.
+                from multigrid_petsc_tpu.ops.sparse import assemble_level_csr
+
+                dense = coarse_mod.dense_from_csr(
+                    *assemble_level_csr(
+                        cfg.npts, cfg.mesh, tuple(g.g for g in last.spec.grids)
+                    )
+                )
             last.coarse_solve = coarse_mod.build_direct_solver(
                 last.apply, shapes, dtype,
                 stencils=last.stencils if use_analytic else None,
+                dense=dense,
             )
         elif mode == "cg":
             last.coarse_solve = coarse_mod.build_cg_solver(

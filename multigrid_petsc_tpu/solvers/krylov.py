@@ -102,26 +102,38 @@ def outer_precision_operator(ctx: MGContext, odt):
 def solve_mgcg_mixed(
     ctx: MGContext, b0: State | None = None, u0=None
 ) -> OuterResult:
-    """Mixed-precision defect correction: f64 residuals, f32 mg-CG inner.
+    """Mixed-precision mg-CG: f64 outer PCG, f32 MG V-cycle preconditioner.
 
-    Each outer iteration computes r = b - A u in ``outer_dtype`` (one
-    emulated-f64 stencil apply on TPU), solves the correction system with a
-    handful of mg-CG iterations in the working dtype, and accumulates u in
-    ``outer_dtype``.  Converges to the f64 roundoff floor — the path to the
-    1e-8 residual target of BASELINE.md on hardware where f32 alone
-    plateaus near 1e-6.  The outer operator comes from the level's own
-    problem family (``outer_precision_operator``), so the stretched-mesh
-    and anisotropic 9-point configs certify the same way as uniform
-    Poisson.  ``u0`` warm-starts the outer iteration directly (the
-    defect-correction loop is already a correction solve)."""
-    import dataclasses
-
+    The CG iteration (operator applies, vector updates, inner products)
+    runs entirely in ``outer_dtype`` — one emulated-f64 stencil apply per
+    iteration — while the expensive preconditioner (the multigrid V-cycle
+    with its fused Pallas kernels) runs in the f32 working dtype.  A
+    low-precision *preconditioner* only affects the convergence rate;
+    attainable accuracy follows the f64 operator (~eps64 * kappa), so this
+    certifies 1e-8 residuals even at 8193^2 where iterative-refinement
+    structures stall (kappa * eps32 ~ 3 > 1 there — an f32 inner solve can
+    no longer reduce the error).  The outer operator comes from the
+    level's own problem family (``outer_precision_operator``), so the
+    stretched-mesh and anisotropic 9-point configs certify the same way
+    as uniform Poisson.  ``u0`` warm-starts the outer iteration.
+    """
     cfg = ctx.config
     odt = jnp.dtype(cfg.outer_dtype)
+    v0, v1 = cfg.v
     lvl0 = ctx.levels[0]
     assert not lvl0.spec.is_composite, "mixed outer: simple fine level only"
     g0 = lvl0.spec.primary
     apply64, _ = outer_precision_operator(ctx, odt)
+    pad0 = lvl0.pad_rows  # distributed levels: preconditioner is padded
+
+    def precond(r64):
+        r32 = r64.astype(ctx.dtype)
+        if pad0:
+            r32 = jnp.pad(r32, ((0, pad0), (0, 0)))
+        z = mg_apply(ctx, (r32,), v0, v1)[0]
+        if pad0:
+            z = z[: g0.ny]
+        return z.astype(odt)
 
     # NOTE: callers must supply b0 already evaluated in the outer dtype
     # (solve() does); upcasting an f32 RHS would bake an eps32*||b|| error
@@ -130,43 +142,39 @@ def solve_mgcg_mixed(
     bnorm = jnp.linalg.norm(b.ravel())
     hist_len = cfg.hist_len
 
-    # Inner mg-CG: fixed small iteration budget, loose tolerance (each
-    # outer iteration only needs ~5 digits from the correction solve).
-    inner_cfg = dataclasses.replace(
-        cfg, max_iter=8, rtol=1e-4, outer_dtype=None, history_len=8
-    )
-    inner_ctx = dataclasses.replace(ctx, config=inner_cfg)
-
     u = jnp.zeros(g0.shape, odt) if u0 is None else u0[0].astype(odt)
     r = b - apply64(u)
     rn0 = jnp.linalg.norm(r.ravel())
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r.ravel(), z.ravel())
     hist = jnp.zeros(hist_len + 1, dtype=odt).at[0].set(rn0)
 
     def cond(c):
-        u, i, rn, hist = c
+        u, r, p, rz, i, rn, hist = c
         return (
             (i < cfg.max_iter)
             & (cfg.divtol * bnorm > rn)
             & (rn > cfg.rtol * bnorm)
         )
 
-    pad0 = lvl0.pad_rows  # distributed levels: inner solve is padded
-
     def body(c):
-        u, i, rn, hist = c
-        r = b - apply64(u)
-        r_in = r.astype(ctx.dtype)
-        if pad0:
-            r_in = jnp.pad(r_in, ((0, pad0), (0, 0)))
-        e = solve_mgcg(inner_ctx, (r_in,)).u[0]
-        if pad0:
-            e = e[: g0.ny]
-        u = u + e.astype(odt)
-        rn = jnp.linalg.norm((b - apply64(u)).ravel())
+        u, r, p, rz, i, rn, hist = c
+        ap = apply64(p)
+        alpha = rz / jnp.vdot(p.ravel(), ap.ravel())
+        u = u + alpha * p
+        r = r - alpha * ap
+        rn = jnp.linalg.norm(r.ravel())
+        z = precond(r)
+        rz_new = jnp.vdot(r.ravel(), z.ravel())
+        beta = rz_new / rz
+        p = z + beta * p
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
-        return (u, i + 1, rn, hist)
+        return (u, r, p, rz_new, i + 1, rn, hist)
 
-    u, iters, rn, hist = jax.lax.while_loop(cond, body, (u, 0, rn0, hist))
+    u, r, p, rz, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, p, rz, 0, rn0, hist)
+    )
     return OuterResult(
         u=(u,),
         rnorm_history=hist / hist[0],
@@ -188,14 +196,23 @@ def _unflatten(vec, shapes):
     return tuple(out)
 
 
-def solve_mgfgmres(ctx: MGContext, b0: State | None = None, restart: int = 10) -> OuterResult:
+def solve_mgfgmres(ctx: MGContext, b0: State | None = None,
+                   restart: int | None = None) -> OuterResult:
     """Flexible GMRES(restart) with one V-cycle as the (right)
-    preconditioner.  History records ||r|| once per restart block."""
+    preconditioner.  History records ||r|| once per restart block.
+
+    The restart block is a single ``fori_loop`` over the Krylov steps with
+    masked modified Gram-Schmidt and INCREMENTAL Givens rotations (no
+    per-restart lstsq, no O(m^2) unrolled trace) — compile size is O(1)
+    in ``restart``.  Memory is inherent to FGMRES(m): V (m+1 vectors) and
+    Z (m preconditioned vectors) stay live; tune ``fgmres_restart`` down
+    for very large grids.
+    """
     cfg = ctx.config
     v0, v1 = cfg.v
     lvl0 = ctx.levels[0]
     shapes = lvl0.padded_shapes
-    m = restart
+    m = restart if restart is not None else cfg.fgmres_restart
     b = ctx.b0 if b0 is None else b0
     hist_len = cfg.hist_len
     max_restarts = cfg.max_iter
@@ -219,23 +236,65 @@ def solve_mgfgmres(ctx: MGContext, b0: State | None = None, restart: int = 10) -
     def restart_block(u):
         r = bflat - apply_flat(u)
         beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n), dtype).at[0].set(r / beta)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
         Z = jnp.zeros((m, n), dtype)
-        H = jnp.zeros((m + 1, m), dtype)
-        for j in range(m):  # static unroll (m is small)
+        R = jnp.zeros((m, m), dtype)  # triangularized Hessenberg
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def arnoldi(j, carry):
+            V, Z, R, cs, sn, g = carry
             zj = precond_flat(V[j])
             w = apply_flat(zj)
-            # Modified Gram-Schmidt.
-            for i in range(j + 1):
-                hij = jnp.vdot(V[i], w)
-                H = H.at[i, j].set(hij)
-                w = w - hij * V[i]
+
+            # Masked MGS: orthogonalize against V[i] for i <= j only.
+            def mgs(i, wh):
+                w, hcol = wh
+                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
+                return (w - hij * V[i], hcol.at[i].set(hij))
+
+            w, hcol = jax.lax.fori_loop(
+                0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype))
+            )
             hj1 = jnp.linalg.norm(w)
-            H = H.at[j + 1, j].set(hj1)
+            hcol = hcol.at[j + 1].set(hj1)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             Z = Z.at[j].set(zj)
-        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+
+            # Apply the previous Givens rotations to the new column.
+            def rot(i, hc):
+                t1 = cs[i] * hc[i] + sn[i] * hc[i + 1]
+                t2 = -sn[i] * hc[i] + cs[i] * hc[i + 1]
+                on = i < j
+                return (hc.at[i].set(jnp.where(on, t1, hc[i]))
+                          .at[i + 1].set(jnp.where(on, t2, hc[i + 1])))
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            # New rotation annihilating the subdiagonal entry.
+            denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
+            s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
+            R = R.at[:, j].set(hcol[:m])
+            g = g.at[j + 1].set(-s * g[j])
+            g = g.at[j].set(c * g[j])
+            return (V, Z, R, cs, sn, g)
+
+        V, Z, R, cs, sn, g = jax.lax.fori_loop(
+            0, m, arnoldi, (V, Z, R, cs, sn, g)
+        )
+        # Back-substitution R y = g[:m] (R upper triangular by Givens; a
+        # zero diagonal only occurs on exact breakdown = already converged,
+        # where g's tail is zero too — guard the division).
+        from jax.scipy.linalg import solve_triangular
+
+        Rsafe = R + jnp.diag(jnp.where(jnp.abs(jnp.diag(R)) > 0, 0.0, 1.0))
+        y = solve_triangular(Rsafe, g[:m], lower=False)
         return u + Z.T @ y
 
     def cond(c):

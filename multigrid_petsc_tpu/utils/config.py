@@ -52,7 +52,9 @@ class SolverConfig:
     grids: int = 2            # total coarsened grids (-grids)
     levels: int = 2           # solver levels (-levels)
     cycle: CycleType = CycleType.VCYCLE  # (-cycle)
-    map_style: int = 2        # accepted for parity; layout is a sharding here (-map)
+    map_style: int = 2        # distributed layout (-map): 2 (reference
+    # default, local-grid-after-grid) -> 1-D row partition + fused
+    # distributed kernels; 0/1 -> 2-D block GSPMD plan (see poisson.py)
     v: tuple[int, int] = (3, 3)  # (fine/mid sweeps, coarsest sweeps) (-v)
     more_norm: bool = False   # per-grid inner residual monitors (-moreNorm)
 
@@ -76,6 +78,8 @@ class SolverConfig:
     # MG preconditioner in dtype) — certifies 1e-8 residuals on TPU where
     # f64 compute is emulated but f32 alone hits its roundoff floor
     history_len: int | None = None  # residual-history capacity (default: max_iter)
+    fgmres_restart: int = 10  # FGMRES(m) restart length (memory: ~2m+1
+    # fine-grid vectors live; lower it for very large grids)
 
     def validate(self) -> "SolverConfig":
         # Reference guards (src/poisson.c:61-71).

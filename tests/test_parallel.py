@@ -94,3 +94,59 @@ def test_distributed_solve_with_agglomeration():
     assert dist.converged
     errs = error_norms(dist.ctx.problem, MeshType.UNIFORM, dist.u_fine)
     assert errs[0] < 4.0 / 128 / 128
+
+
+def test_halo_corners_9pt_matches_single_device():
+    """corners=True halo exchange (the 9-point second pass) == single-device
+    9-point apply."""
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+    from multigrid_petsc_tpu.parallel.halo import halo_pad_local
+    from multigrid_petsc_tpu.problems import AnisoProblem, stencil9_coefficients
+
+    mesh = make_device_mesh(shape=(2, 4))
+    n = 32
+    st = stencil9_coefficients(AnisoProblem(1.0, 0.5, 50.0, 0.0, 0.3), n, n)
+    rng = np.random.default_rng(21)
+    u = jnp.asarray(rng.standard_normal((n, n)))
+    expect = np.asarray(apply_stencil9(st, u))
+
+    def local9(csw, cs, cse, cw, cc, ce, cnw, cn, cne, u):
+        p = halo_pad_local(u, corners=True)
+        return (
+            cc * u
+            + cs * p[:-2, 1:-1] + cn * p[2:, 1:-1]
+            + cw * p[1:-1, :-2] + ce * p[1:-1, 2:]
+            + csw * p[:-2, :-2] + cse * p[:-2, 2:]
+            + cnw * p[2:, :-2] + cne * p[2:, 2:]
+        )
+
+    # Coefficient fields are (ny,1)/(1,nx)/(1,1) broadcastables: shard the
+    # big axis where present, replicate the rest.
+    def cspec(c):
+        cb = jnp.broadcast_to(c, (n, n))
+        return cb, P("y", "x")
+
+    cs_full = [cspec(c) for c in st]
+    f = shard_map(
+        local9, mesh=mesh,
+        in_specs=tuple(s for _, s in cs_full) + (P("y", "x"),),
+        out_specs=P("y", "x"),
+    )
+    got = np.asarray(f(*(c for c, _ in cs_full), u))
+    np.testing.assert_allclose(got, expect, rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_aniso_solve_matches_single_device():
+    """9-point anisotropic family distributed over the 2-D mesh (GSPMD)
+    == single device, iteration-for-iteration."""
+    from multigrid_petsc_tpu.utils.config import SmootherType
+
+    cfg = SolverConfig(npts=65, grids=3, levels=3, cycle=CycleType.MGCG,
+                       problem="aniso", aniso=(1.0, 0.0, 100.0, 0.0, 0.0),
+                       smoother=SmootherType.LINE_Y, max_iter=60)
+    ref = solve(cfg)
+    dist = solve(cfg, plan=ShardingPlan(make_device_mesh(), min_local=8))
+    assert dist.converged
+    assert dist.iters == ref.iters
+    np.testing.assert_allclose(dist.rnorm, ref.rnorm, rtol=1e-6)
+    np.testing.assert_allclose(dist.u_fine, ref.u_fine, rtol=1e-6, atol=1e-11)

@@ -11,8 +11,10 @@ TPU-native redesign: there are no global index maps or row ranges — a grid
 is just a dense (ny, nx) array and a level state is a tuple of per-grid
 arrays.  The reference's three composite-ordering styles
 (src/matbuild.c:146-323) existed to lay out one flat distributed vector;
-here layout is a sharding annotation (see parallel/), so the mapping styles
-are accepted in the config for parity but have no numerical effect.
+here layout is a sharding annotation (see parallel/): ``-map 2`` selects
+the 1-D row-partition plan (+ fused distributed kernels), ``-map 0/1``
+the 2-D block GSPMD plan (see poisson.py); the numerical results are
+layout-independent either way.
 """
 
 from __future__ import annotations

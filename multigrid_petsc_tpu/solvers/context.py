@@ -27,7 +27,11 @@ from multigrid_petsc_tpu.ops.stencil import Stencil5
 from multigrid_petsc_tpu.ops.composite import composite_apply, composite_rhs
 from multigrid_petsc_tpu.ops.transfer import prolong_multi, restrict_multi
 from multigrid_petsc_tpu.solvers import smoothers as sm
-from multigrid_petsc_tpu.utils.config import SolverConfig, SmootherType
+from multigrid_petsc_tpu.utils.config import (
+    CycleType,
+    SmootherType,
+    SolverConfig,
+)
 
 State = tuple  # tuple of per-grid 2-D arrays
 
@@ -168,6 +172,11 @@ class MGContext:
     levels: list[LevelCtx]
     b0: State  # level-0 right-hand side
     dtype: object = jnp.float64
+    # Reduced-precision preconditioner context (cfg.precond_dtype): a full
+    # second level hierarchy in e.g. bfloat16 that the Krylov outers run
+    # their V-cycle preconditioner through — half the HBM bytes per
+    # preconditioner application; outer accuracy is unaffected.
+    precond_ctx: "MGContext | None" = None
 
     # -- inter-level transfers (reference: src/solver.c:1035-1154 Res/Pro) --
     # Pad handling: distributed-Pallas levels carry one extra zero row (see
@@ -270,8 +279,11 @@ def _use_pallas(ctx: LevelCtx, cfg: SolverConfig) -> bool:
     inside SparseLevelOp.apply."""
     if cfg.backend in ("xla", "sparse"):
         return False
-    if ctx.shardings is not None:
-        return False  # GSPMD path handles distribution; Pallas+shard_map later
+    if ctx.shardings is not None and ctx.shardings[0].mesh.devices.size > 1:
+        # Genuinely distributed levels run the shard_map fused kernels
+        # (LevelCtx.dist) or the GSPMD jnp path; a 1-device mesh is
+        # trivially "sharded" and keeps the plain fused kernels.
+        return False
     if ctx.spec.is_composite:
         return False
     g = ctx.spec.primary
@@ -311,21 +323,32 @@ def _use_dist(lc: LevelCtx, cfg: SolverConfig, plan, dtype) -> bool:
 
     if plan is None or getattr(plan, "layout", "blocks") != "rows":
         return False
+    if int(plan.mesh.devices.size) == 1:
+        # A 1-device "distribution" would only add shard_map/halo-window
+        # overhead (~1.5x per op, measured); the plain fused kernels are
+        # the right path there (_use_pallas allows 1-device meshes).
+        return False
     if cfg.backend in ("xla", "sparse"):
         return False
     if lc.spec.is_composite or not isinstance(lc.stencils[0], Stencil5):
         return False
     if cfg.smoother not in (SmootherType.JACOBI, SmootherType.CHEBYSHEV):
         return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
     g = lc.spec.primary
+    if platform == "tpu" and (g.ny < 256 or g.nx < 256):
+        # Small levels: fixed Pallas dispatch overhead dominates any
+        # fusion gain (same cutoff as the single-device path); GSPMD jnp
+        # ops handle them.  Interpreter mode (CPU test tier) keeps every
+        # eligible level on the dist path for coverage.
+        return False
     if plan.spec(g.ny, g.nx)[0] != "y":
         return False  # agglomerated (replicated) level
     if not dist_viable(g.ny, int(plan.mesh.devices.size), max(cfg.v),
                        nx=g.nx):
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:  # pragma: no cover
         return False
     if platform != "tpu":
         # Interpreter-mode kernels are for the virtual-mesh test tier:
@@ -793,6 +816,20 @@ def build_context(
             put_sharded(bb, s) for bb, s in zip(b0, levels[0].shardings)
         )
 
-    return MGContext(
+    out = MGContext(
         config=cfg, problem=problem, levels=levels, b0=b0, dtype=dtype
     )
+    if cfg.precond_dtype is not None and cfg.cycle in (
+        CycleType.MGCG, CycleType.MGFGMRES
+    ):
+        import dataclasses
+
+        pcfg = dataclasses.replace(
+            cfg, dtype=cfg.precond_dtype, precond_dtype=None,
+            outer_dtype=None,
+        )
+        out.precond_ctx = build_context(pcfg, problem, plan=plan)
+        assert [l.padded_shapes for l in out.precond_ctx.levels] == [
+            l.padded_shapes for l in levels
+        ], "precond context level shapes must match"
+    return out

@@ -26,6 +26,23 @@ from multigrid_petsc_tpu.solvers.outer import OuterResult
 from multigrid_petsc_tpu.solvers.vcycle import mg_apply
 
 
+def _mg_precond(ctx: MGContext, v0: int, v1: int) -> Callable[[State], State]:
+    """The V-cycle preconditioner closure, routed through the
+    reduced-precision context when cfg.precond_dtype is set (the bf16
+    preconditioner halves HBM bytes per application; the Krylov outer
+    keeps full accuracy — M only shapes the rate)."""
+    pctx = ctx.precond_ctx
+    if pctx is None:
+        return lambda r: mg_apply(ctx, r, v0, v1)
+    pdt = pctx.dtype
+
+    def precond(r: State) -> State:
+        z = mg_apply(pctx, tuple(x.astype(pdt) for x in r), v0, v1)
+        return tuple(x.astype(r0.dtype) for x, r0 in zip(z, r))
+
+    return precond
+
+
 def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     """Preconditioned CG with one V-cycle as M.
 
@@ -38,7 +55,7 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     b = ctx.b0 if b0 is None else b0
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
-    precond: Callable[[State], State] = lambda r: mg_apply(ctx, r, v0, v1)
+    precond = _mg_precond(ctx, v0, v1)
 
     bnorm = tree_norm2(b)
     u = lvl0.zeros(ctx.dtype)
@@ -126,11 +143,13 @@ def solve_mgcg_mixed(
     apply64, _ = outer_precision_operator(ctx, odt)
     pad0 = lvl0.pad_rows  # distributed levels: preconditioner is padded
 
+    inner_precond = _mg_precond(ctx, v0, v1)
+
     def precond(r64):
         r32 = r64.astype(ctx.dtype)
         if pad0:
             r32 = jnp.pad(r32, ((0, pad0), (0, 0)))
-        z = mg_apply(ctx, (r32,), v0, v1)[0]
+        z = inner_precond((r32,))[0]
         if pad0:
             z = z[: g0.ny]
         return z.astype(odt)
@@ -217,8 +236,10 @@ def solve_mgfgmres(ctx: MGContext, b0: State | None = None,
     hist_len = cfg.hist_len
     max_restarts = cfg.max_iter
 
+    _precond = _mg_precond(ctx, v0, v1)
+
     def precond_flat(rflat):
-        z = mg_apply(ctx, _unflatten(rflat, shapes), v0, v1)
+        z = _precond(_unflatten(rflat, shapes))
         return _flatten(z)
 
     def apply_flat(xflat):

@@ -62,7 +62,13 @@ def _driver(ctx: MGContext, u0_mixed=None):
         return lambda b0: vc.solve_fmg(ctx, b0)
     if c == CycleType.MGCG:
         if ctx.config.outer_dtype is not None:
-            return lambda b0: kr.solve_mgcg_mixed(ctx, b0, u0=u0_mixed)
+            if u0_mixed is not None:
+                # Warm start rides as a traced ARGUMENT — baking a
+                # production-size array into the HLO as a constant
+                # overflows remote-compile payloads (HTTP 413 observed at
+                # 8193^2).
+                return lambda b0, u0: kr.solve_mgcg_mixed(ctx, b0, u0=u0)
+            return lambda b0: kr.solve_mgcg_mixed(ctx, b0)
         return lambda b0: kr.solve_mgcg(ctx, b0)
     if c == CycleType.MGFGMRES:
         return lambda b0: kr.solve_mgfgmres(ctx, b0)
@@ -161,12 +167,13 @@ def solve(
             ctx = dataclasses.replace(ctx, config=cfg)
 
     run = jax.jit(_driver(ctx, u0_mixed=u0_mixed))
+    args = (b_in,) if u0_mixed is None else (b_in, u0_mixed)
     t0 = time.perf_counter()
-    compiled = run.lower(b_in).compile()  # AOT: no throwaway execution
+    compiled = run.lower(*args).compile()  # AOT: no throwaway execution
     t_compile = time.perf_counter() - t0
 
     t0w, t0c = time.perf_counter(), time.process_time()
-    res: OuterResult = compiled(b_in)
+    res: OuterResult = compiled(*args)
     jax.block_until_ready(res)
     iters = int(res.iters)  # host readback: forces real sync (axon tunnel)
     t1w, t1c = time.perf_counter(), time.process_time()
@@ -176,7 +183,7 @@ def solve(
         # excludes any first-execution overhead (state-free drivers:
         # rerunning reproduces the same solve).
         t0w, t0c = time.perf_counter(), time.process_time()
-        res = compiled(b_in)
+        res = compiled(*args)
         jax.block_until_ready(res)
         iters = int(res.iters)
         t1w, t1c = time.perf_counter(), time.process_time()

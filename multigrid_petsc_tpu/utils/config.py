@@ -80,6 +80,11 @@ class SolverConfig:
     history_len: int | None = None  # residual-history capacity (default: max_iter)
     fgmres_restart: int = 10  # FGMRES(m) restart length (memory: ~2m+1
     # fine-grid vectors live; lower it for very large grids)
+    precond_dtype: str | None = None  # e.g. "bfloat16": run the MG V-cycle
+    # preconditioner of the Krylov outers (mg-CG/FGMRES, incl. the mixed
+    # f64 outer) in this dtype — halves the preconditioner's HBM traffic;
+    # the outer Krylov iteration keeps full accuracy (a preconditioner
+    # only shapes the rate)
 
     def validate(self) -> "SolverConfig":
         # Reference guards (src/poisson.c:61-71).

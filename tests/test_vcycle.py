@@ -202,3 +202,35 @@ def test_checkpoint_resume():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         checkpoint.load(path, _cfg(npts=65, grids=3, levels=3))
+
+
+def test_bf16_preconditioner_mgcg():
+    """cfg.precond_dtype='bfloat16': the V-cycle preconditioner runs in
+    bf16 (half the HBM bytes) while the CG outer keeps full accuracy —
+    converges to the same tolerance with at most a few extra iterations."""
+    import dataclasses
+
+    from multigrid_petsc_tpu.utils.config import CycleType
+
+    cfg = SolverConfig(npts=65, grids=4, levels=4, cycle=CycleType.MGCG,
+                       max_iter=60)
+    ref = solve(cfg)
+    res = solve(dataclasses.replace(cfg, precond_dtype="bfloat16"))
+    assert res.ctx.precond_ctx is not None
+    assert res.converged
+    assert res.iters <= ref.iters + 4
+    np.testing.assert_allclose(res.u_fine, ref.u_fine, rtol=1e-5, atol=1e-9)
+
+
+def test_bf16_preconditioner_mixed_1e8():
+    """bf16 preconditioner + f64 outer PCG still certifies 1e-8."""
+    import dataclasses
+
+    from multigrid_petsc_tpu.utils.config import CycleType
+
+    cfg = SolverConfig(npts=129, grids=5, levels=5, cycle=CycleType.MGCG,
+                       dtype="float32", outer_dtype="float64", rtol=1e-8,
+                       precond_dtype="bfloat16", max_iter=80)
+    res = solve(cfg)
+    assert res.converged
+    assert float(res.rnorm[-1]) <= 1e-8

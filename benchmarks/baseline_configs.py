@@ -339,7 +339,20 @@ def main() -> None:
 
     chip = str(jax.devices()[0])
     suite = build_suite(chip)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
     results = {"device": chip, "records": []}
+    if out.exists():
+        try:
+            prev = json.loads(out.read_text())
+            # Keep records of configs NOT selected this run (merge).
+            keep = {r["name"] for i, (n, *_rest) in enumerate(suite, 1)
+                    if i in which for r in [{"name": n}]}
+            results["records"] = [
+                r for r in prev.get("records", []) if r["name"] not in keep
+            ]
+        except Exception:
+            pass
     for i, (name, cfg, plan, note, certify) in enumerate(suite, start=1):
         if i not in which:
             continue
@@ -347,10 +360,11 @@ def main() -> None:
         rec = run_config(name, cfg, plan=plan, note=note, certify=certify)
         print(json.dumps(rec, indent=1), flush=True)
         results["records"].append(rec)
-
-    out = Path(args.out)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(results, indent=1))
+        # Write INCREMENTALLY: a late-config failure must not lose the
+        # earlier records.
+        order = {n: i for i, (n, *_r) in enumerate(suite, 1)}
+        results["records"].sort(key=lambda r: order.get(r["name"], 99))
+        out.write_text(json.dumps(results, indent=1))
     print(f"wrote {out}")
 
 

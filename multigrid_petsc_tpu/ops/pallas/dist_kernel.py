@@ -49,10 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multigrid_petsc_tpu.ops.stencil import Stencil5
 from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+    _compute_dtype,
+    _load_f32,
     _prolong_x_vmem,
     _restrict_x_vmem,
     _shift_e,
     _shift_w,
+    _store,
     _x64_scope,
 )
 
@@ -137,13 +140,19 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
             (flag_ref, c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
              *outs) = refs
         i = pl.program_id(0).astype(jnp.int32)
-        u = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
-        b = jnp.concatenate([bt_ref[0], b_ref[:], bb_ref[0]], axis=0)
+        u = jnp.concatenate(
+            [_load_f32(ut_ref)[0], _load_f32(u_ref), _load_f32(ub_ref)[0]],
+            axis=0)
+        b = jnp.concatenate(
+            [_load_f32(bt_ref)[0], _load_f32(b_ref), _load_f32(bb_ref)[0]],
+            axis=0)
 
         if correct:
             # In-VMEM bilinear prolongation of the coarse correction (same
             # transposed sublane-interleave as the single-device kernel).
-            e_loc = jnp.concatenate([et_ref[0], em_ref[:], eb_ref[0]], axis=0)
+            e_loc = jnp.concatenate(
+                [_load_f32(et_ref)[0], _load_f32(em_ref),
+                 _load_f32(eb_ref)[0]], axis=0)
             e_loc = _prolong_x_vmem(e_loc)
             prev, cur = e_loc[:-1], e_loc[1:]
             if h % 2 == 0:
@@ -173,14 +182,14 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
             u = u + p
 
         if emit == "a":
-            outs[0][:] = apply_a(u)[h : h + t]
+            _store(outs[0], apply_a(u)[h : h + t])
             return
         if emit == "r":
-            outs[0][:] = (b - apply_a(u))[h : h + t]
+            _store(outs[0], (b - apply_a(u))[h : h + t])
             return
-        outs[0][:] = u[h : h + t]
+        _store(outs[0], u[h : h + t])
         if emit == "ur":
-            outs[1][:] = (b - apply_a(u))[h : h + t]
+            _store(outs[1], (b - apply_a(u))[h : h + t])
         elif emit == "rc":
             r = b - apply_a(u)
             v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
@@ -194,7 +203,7 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
             pad_row = ((flag_ref[0, 0] == 1)
                        & (i == jnp.int32(g - 1))
                        & (rows == jnp.int32(t // 2 - 1)))
-            outs[1][:] = jnp.where(pad_row, jnp.zeros_like(rc), rc)
+            _store(outs[1], jnp.where(pad_row, jnp.zeros_like(rc), rc))
 
     return kernel
 

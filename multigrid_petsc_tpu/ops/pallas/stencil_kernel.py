@@ -62,6 +62,27 @@ def _coeff_cols(st: Stencil5, ny: int, dtype):
     return [jnp.broadcast_to(c, (ny, 1)).astype(dtype) for c in st]
 
 
+def _load_f32(ref):
+    """Read a ref upcast to f32 when it stores bf16: Mosaic's sublane
+    reshape/stack interleaves (transfers) and squeezes only lower for
+    32-bit lanes ('unsupported shape cast' on bf16 vectors, observed on
+    v5e).  HBM<->VMEM traffic stays in the storage dtype — the bf16
+    preconditioner's bandwidth win — while VMEM compute runs f32."""
+    x = ref[:]
+    if x.dtype == jnp.bfloat16:
+        x = x.astype(jnp.float32)
+    return x
+
+
+def _store(ref, val):
+    ref[:] = val.astype(ref.dtype)
+
+
+def _compute_dtype(dtype):
+    """In-kernel compute dtype: f32 for bf16 storage (see _load_f32)."""
+    return jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else dtype
+
+
 def _shift_w(x):
     """West neighbor (u[i, j-1]) with zero at the left edge."""
     return jnp.pad(x[:, :-1], ((0, 0), (1, 0)))
@@ -95,7 +116,7 @@ def _make_apply_kernel(g: int, t: int, ny: int):
         # Index math pinned to i32: under jax_enable_x64, python-int mixing
         # would promote to i64, which Mosaic cannot legalize.
         i = pl.program_id(0).astype(jnp.int32)
-        u = u_ref[:]
+        u = _load_f32(u_ref)
         if tl != t:
             # Ragged last block: rows >= tl are padding garbage; they feed
             # the north-shift of row tl-1, so zero them explicitly.
@@ -103,15 +124,15 @@ def _make_apply_kernel(g: int, t: int, ny: int):
             u = jnp.where(
                 (i < jnp.int32(g - 1)) | (rows < jnp.int32(tl)), u, 0.0
             )
-        south = jnp.concatenate([top_ref[0], u[:-1]], axis=0)
-        north = jnp.concatenate([u[1:], bot_ref[0]], axis=0)
-        out_ref[:] = (
+        south = jnp.concatenate([_load_f32(top_ref)[0], u[:-1]], axis=0)
+        north = jnp.concatenate([u[1:], _load_f32(bot_ref)[0]], axis=0)
+        _store(out_ref, (
             cc_ref[:] * u
             + cs_ref[:] * south
             + cn_ref[:] * north
             + cw_ref[:] * _shift_w(u)
             + ce_ref[:] * _shift_e(u)
-        )
+        ))
 
     return kernel
 
@@ -129,7 +150,7 @@ def apply_stencil5_pallas(
     # tiling rule (last two dims equal to the array's).
     tops = tops.reshape(g, 1, nx)
     bots = bots.reshape(g, 1, nx)
-    coeffs = _coeff_cols(st, ny, u.dtype)
+    coeffs = _coeff_cols(st, ny, _compute_dtype(u.dtype))
 
     coeff_spec = pl.BlockSpec((t, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)
@@ -202,15 +223,17 @@ def _make_smooth_kernel(ny, t, k, g, steps):
     def kernel(c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, out_ref):
         # i32-pinned index math (see apply kernel note re jax_enable_x64).
         i = pl.program_id(0).astype(jnp.int32)
-        u = u_ref[:]
-        bmid = b_ref[:]
+        u = _load_f32(u_ref)
+        bmid = _load_f32(b_ref)
         if tl != t:
             rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
             valid = (i < jnp.int32(g - 1)) | (rows < jnp.int32(tl))
             u = jnp.where(valid, u, 0.0)
             bmid = jnp.where(valid, bmid, 0.0)
-        u = jnp.concatenate([ut_ref[0], u, ub_ref[0]], axis=0)  # (t+2k, nx)
-        b = jnp.concatenate([bt_ref[0], bmid, bb_ref[0]], axis=0)
+        u = jnp.concatenate([_load_f32(ut_ref)[0], u, _load_f32(ub_ref)[0]],
+                            axis=0)  # (t+2k, nx)
+        b = jnp.concatenate([_load_f32(bt_ref)[0], bmid,
+                             _load_f32(bb_ref)[0]], axis=0)
         cs = c_ref[0, 0]
         cw = c_ref[0, 1]
         cc = c_ref[0, 2]
@@ -232,7 +255,7 @@ def _make_smooth_kernel(ny, t, k, g, steps):
             z = dinv * (b - au)
             p = beta * p + alpha * z
             u = jnp.where(inside, u + p, 0.0)
-        out_ref[:] = u[k : k + t]
+        _store(out_ref, u[k : k + t])
 
     return kernel
 
@@ -293,7 +316,8 @@ def smooth_sweeps_pallas(
     # stay nonzero — clamping guarantees real values).
     t2k = t + 2 * k
     cols = jnp.concatenate(
-        [c.reshape(1, -1) for c in _coeff_cols(st, ny, u.dtype)], axis=0
+        [c.reshape(1, -1)
+         for c in _coeff_cols(st, ny, _compute_dtype(u.dtype))], axis=0
     )  # (5, ny)
     idx = jnp.clip(
         (jnp.arange(g) * t - k)[:, None] + jnp.arange(t2k)[None, :], 0, ny - 1
@@ -514,8 +538,12 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, *outs = refs
 
         i = pl.program_id(0).astype(jnp.int32)
-        u = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
-        b = jnp.concatenate([bt_ref[0], b_ref[:], bb_ref[0]], axis=0)
+        u = jnp.concatenate(
+            [_load_f32(ut_ref)[0], _load_f32(u_ref), _load_f32(ub_ref)[0]],
+            axis=0)
+        b = jnp.concatenate(
+            [_load_f32(bt_ref)[0], _load_f32(b_ref), _load_f32(bb_ref)[0]],
+            axis=0)
         # Global fine row of each slab row; phantom/ragged rows masked to 0.
         grow = (i * jnp.int32(t) - jnp.int32(h)
                 + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0))
@@ -529,11 +557,12 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             # parity-split interleave.  e_loc rows cover coarse rows
             # [i*t/2 - th, ...); main block is BlockSpec-aligned, halos
             # host-gathered (zero-filled OOR).
-            em = em_ref[:]
+            em = _load_f32(em_ref)
             crow = (i * jnp.int32(t // 2)
                     + jax.lax.broadcasted_iota(jnp.int32, em.shape, 0))
             em = jnp.where(crow < jnp.int32(nyc), em, 0.0)  # ragged pad
-            e_loc = jnp.concatenate([et_ref[0], em, eb_ref[0]], axis=0)
+            e_loc = jnp.concatenate(
+                [_load_f32(et_ref)[0], em, _load_f32(eb_ref)[0]], axis=0)
             e_loc = _prolong_x_vmem(e_loc)  # (hc, nx)
             prev, cur = e_loc[:-1], e_loc[1:]
             if h % 2 == 0:
@@ -566,13 +595,13 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
         if emit == "r":
             # Residual only: skipping the u write saves one full HBM pass
             # (the standalone-residual case, LevelCtx.residual).
-            outs[0][:] = (b - apply_a(u))[h : h + t]
+            _store(outs[0], (b - apply_a(u))[h : h + t])
             return
-        outs[0][:] = u[h : h + t]
+        _store(outs[0], u[h : h + t])
 
         if emit == "ur":
             r = b - apply_a(u)
-            outs[1][:] = r[h : h + t]
+            _store(outs[1], r[h : h + t])
         elif emit == "rc":
             # Full-weighting restriction of the final residual: y-direction
             # (window rows [2c, 2c+2] global) then x in-VMEM.
@@ -580,7 +609,7 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
             ev, od = v[:, 0], v[:, 1]
             ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
-            outs[1][:] = _restrict_x_vmem(ev + 2.0 * od + ev_next)
+            _store(outs[1], _restrict_x_vmem(ev + 2.0 * od + ev_next))
 
     return kernel
 
@@ -630,7 +659,8 @@ def fused_level_visit_pallas(
     b_top, b_bot = _halo_windows(b, t, g, h)
 
     cols = jnp.concatenate(
-        [c.reshape(1, -1) for c in _coeff_cols(st, ny, u.dtype)], axis=0
+        [c.reshape(1, -1)
+         for c in _coeff_cols(st, ny, _compute_dtype(u.dtype))], axis=0
     )  # (5, ny)
     import numpy as np
 

@@ -79,8 +79,13 @@ class DistLevelOps:
         # AOT lower/compile path solve() uses).  Tiny: 5 columns x slab.
         key = ("slabs", t, h)
         if key not in self._cache:
+            from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+                _compute_dtype,
+            )
+
             self._cache[key] = dist_coeff_slabs(
-                self.st, self.ny, self.R, self.P, t, h, self.dtype
+                self.st, self.ny, self.R, self.P, t, h,
+                _compute_dtype(self.dtype),  # coeffs stay f32 for bf16 data
             )
         return self._cache[key]
 

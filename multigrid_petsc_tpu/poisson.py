@@ -77,6 +77,12 @@ def main(argv=None) -> int:
     errs = error_norms(res.ctx.problem, mesh_type, res.u_fine)
 
     print_info(cfg, res, errs)
+    if cfg.view_solver:
+        # Per-level solver dump — the reference prints KSPView for every
+        # level after the V-cycle solve (src/solver.c:1560-1564).
+        from multigrid_petsc_tpu.utils.views import view_solver
+
+        print(view_solver(res.ctx))
     r_global = r_grid = None
     if res.aux is not None:
         r_global = res.aux["r_global"]

@@ -56,6 +56,12 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
     precond = _mg_precond(ctx, v0, v1)
+    # A reduced-precision preconditioner is only approximately symmetric/
+    # constant; plain PCG's Fletcher-Reeves beta loses conjugacy there
+    # (observed: residual blow-up with the bf16 V-cycle at 1025^2).  The
+    # flexible Polak-Ribiere beta <z, r - r_prev>/<z_prev, r_prev>
+    # tolerates varying M at the cost of keeping r_prev.
+    flexible = ctx.precond_ctx is not None
 
     bnorm = tree_norm2(b)
     u = lvl0.zeros(ctx.dtype)
@@ -67,25 +73,29 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
 
     def cond(c):
-        u, r, p, rz, i, rn, hist = c
+        u, r, r_prev, p, rz, i, rn, hist = c
         return (i < max_iter) & (cfg.divtol * bnorm > rn) & (rn > cfg.rtol * bnorm)
 
     def body(c):
-        u, r, p, rz, i, rn, hist = c
+        u, r, r_prev, p, rz, i, rn, hist = c
         ap = lvl0.apply(p)
         alpha = rz / tree_dot(p, ap)
         u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
-        r = tuple(rk - alpha * ak for rk, ak in zip(r, ap))
-        rn = tree_norm2(r)
-        z = precond(r)
-        rz_new = tree_dot(r, z)
-        beta = rz_new / rz
+        r_new = tuple(rk - alpha * ak for rk, ak in zip(r, ap))
+        rn = tree_norm2(r_new)
+        z = precond(r_new)
+        rz_new = tree_dot(r_new, z)
+        if flexible:
+            num = rz_new - tree_dot(r, z)
+            beta = jnp.maximum(num / rz, 0.0)  # PR+ restart guard
+        else:
+            beta = rz_new / rz
         p = tuple(zk + beta * pk for zk, pk in zip(z, p))
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
-        return (u, r, p, rz_new, i + 1, rn, hist)
+        return (u, r_new, r, p, rz_new, i + 1, rn, hist)
 
-    u, r, p, rz, iters, rn, hist = jax.lax.while_loop(
-        cond, body, (u, r, p, rz, 0, rn0, hist)
+    u, r, r_prev, p, rz, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, r, p, rz, 0, rn0, hist)
     )
     return OuterResult(
         u=u,
@@ -161,6 +171,8 @@ def solve_mgcg_mixed(
     bnorm = jnp.linalg.norm(b.ravel())
     hist_len = cfg.hist_len
 
+    flexible = ctx.precond_ctx is not None  # see solve_mgcg
+
     u = jnp.zeros(g0.shape, odt) if u0 is None else u0[0].astype(odt)
     r = b - apply64(u)
     rn0 = jnp.linalg.norm(r.ravel())
@@ -170,7 +182,7 @@ def solve_mgcg_mixed(
     hist = jnp.zeros(hist_len + 1, dtype=odt).at[0].set(rn0)
 
     def cond(c):
-        u, r, p, rz, i, rn, hist = c
+        u, r, r_prev, p, rz, i, rn, hist = c
         return (
             (i < cfg.max_iter)
             & (cfg.divtol * bnorm > rn)
@@ -178,21 +190,25 @@ def solve_mgcg_mixed(
         )
 
     def body(c):
-        u, r, p, rz, i, rn, hist = c
+        u, r, r_prev, p, rz, i, rn, hist = c
         ap = apply64(p)
         alpha = rz / jnp.vdot(p.ravel(), ap.ravel())
         u = u + alpha * p
-        r = r - alpha * ap
-        rn = jnp.linalg.norm(r.ravel())
-        z = precond(r)
-        rz_new = jnp.vdot(r.ravel(), z.ravel())
-        beta = rz_new / rz
+        r_new = r - alpha * ap
+        rn = jnp.linalg.norm(r_new.ravel())
+        z = precond(r_new)
+        rz_new = jnp.vdot(r_new.ravel(), z.ravel())
+        if flexible:
+            num = rz_new - jnp.vdot(r.ravel(), z.ravel())
+            beta = jnp.maximum(num / rz, 0.0)
+        else:
+            beta = rz_new / rz
         p = z + beta * p
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
-        return (u, r, p, rz_new, i + 1, rn, hist)
+        return (u, r_new, r, p, rz_new, i + 1, rn, hist)
 
-    u, r, p, rz, iters, rn, hist = jax.lax.while_loop(
-        cond, body, (u, r, p, rz, 0, rn0, hist)
+    u, r, r_prev, p, rz, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, r, p, rz, 0, rn0, hist)
     )
     return OuterResult(
         u=(u,),

@@ -57,6 +57,8 @@ class SolverConfig:
     # distributed kernels; 0/1 -> 2-D block GSPMD plan (see poisson.py)
     v: tuple[int, int] = (3, 3)  # (fine/mid sweeps, coarsest sweeps) (-v)
     more_norm: bool = False   # per-grid inner residual monitors (-moreNorm)
+    view_solver: bool = False  # per-level solver dump after the solve
+    # (-view; the reference's always-on KSPView, src/solver.c:1560-1564)
 
     # TPU-framework knobs (no reference equivalent).
     problem: str = "poisson"  # "poisson" (5-pt, mesh metrics) | "aniso" (9-pt)
@@ -117,6 +119,7 @@ _KEY_MAP = {
     "levels": ("levels", int),
     "map": ("map_style", int),
     "moreNorm": ("more_norm", lambda s: bool(int(s))),
+    "view": ("view_solver", lambda s: bool(int(s))),
 }
 
 

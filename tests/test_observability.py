@@ -71,3 +71,38 @@ def test_profile_phases_attached():
                 "prolong", "norm"):
         assert key in res.phases
         assert res.phases[key] >= 0.0
+
+
+def test_cli_view_flag(tmp_path, capsys, monkeypatch):
+    """-view 1 prints the per-level solver dump after the solve
+    (the reference's KSPView output, src/solver.c:1560-1564)."""
+    from multigrid_petsc_tpu import poisson as cli
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-npts", "17", "-grids", "2", "-levels", "2",
+                   "-view", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "level 0" in out and "smoother=" in out
+
+
+def test_traffic_model_shapes():
+    """Benchmark traffic model: mg-CG > V-cycle overhead; a bf16
+    preconditioner roughly halves the visit bytes."""
+    import dataclasses
+
+    from benchmarks.baseline_configs import modeled_bytes_per_iter
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    cfg = SolverConfig(npts=65, grids=3, levels=3, cycle=CycleType.MGCG,
+                       dtype="float32")
+    ctx = build_context(cfg)
+    m_cg = modeled_bytes_per_iter(ctx)
+    m_v = modeled_bytes_per_iter(ctx, cycle=CycleType.VCYCLE)
+    assert m_cg > m_v
+    ctx_bf = build_context(
+        dataclasses.replace(cfg, precond_dtype="bfloat16"))
+    m_bf = modeled_bytes_per_iter(ctx_bf)
+    # Visit bytes halve; the CG overhead (13 n^2 B) stays f32.
+    assert m_v * 0.4 < m_bf - (m_cg - m_v) - 0.0 < m_v * 0.7

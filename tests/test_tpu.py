@@ -190,3 +190,41 @@ def test_real_solve_mgcg_1025():
     # mixed-precision outer — certified in tests/test_vcycle.py and the
     # benchmark records).
     assert errs[0] < 5e-4
+
+
+def test_compiled_bf16_kernels(data):
+    """bf16-storage kernels (the reduced-precision preconditioner path):
+    HBM I/O in bf16, in-VMEM compute f32 (Mosaic's sublane interleaves
+    don't lower for bf16 vectors — see stencil_kernel._load_f32)."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        fused_level_visit_pallas,
+        jacobi_step_coeffs,
+        jacobi_sweeps_pallas,
+    )
+
+    st, u, b = data
+    ub, bb = u.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    got = np.asarray(jacobi_sweeps_pallas(st, bb, ub, 3, 0.8),
+                     dtype=np.float32)
+    exp = np.asarray(_jacobi(st, b, u, 3))
+    assert_close(got, exp, rtol=2e-2)  # bf16 storage: ~3 digits
+    outs = fused_level_visit_pallas(st, bb, ub,
+                                    jacobi_step_coeffs(3, 0.8), emit="rc")
+    rc_exp = np.asarray(restrict_fw(b - apply_stencil5(st, jnp.asarray(exp))))
+    assert_close(np.asarray(outs[1], dtype=np.float32), rc_exp, rtol=2e-2)
+
+
+def test_real_solve_bf16_precond_1025():
+    """mg-CG with the bf16 V-cycle preconditioner on the chip: converges
+    to the same tolerance as the f32-preconditioned run."""
+    import dataclasses
+
+    from multigrid_petsc_tpu.solvers.solve import solve
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    cfg = SolverConfig(npts=1025, grids=8, levels=8, cycle=CycleType.MGCG,
+                       dtype="float32", max_iter=40, rtol=1e-5)
+    ref = solve(cfg)
+    res = solve(dataclasses.replace(cfg, precond_dtype="bfloat16"))
+    assert res.converged
+    assert res.iters <= ref.iters + 4

@@ -177,6 +177,27 @@ def modeled_bytes_per_iter(ctx, cycle=None) -> float:
     return total
 
 
+def true_residual_f64(res, cfg) -> float:
+    """TRUE f64 relative residual of the returned solution — the
+    certification oracle for the reduced-precision outers (one emulated
+    f64 stencil apply; reference analogue: the true-residual outer norm,
+    src/solver.c:1920-1923)."""
+    from multigrid_petsc_tpu.mesh import MeshType
+    from multigrid_petsc_tpu.problems import aniso_rhs_grid, rhs_grid
+    from multigrid_petsc_tpu.solvers.krylov import outer_precision_operator
+
+    ctx = res.ctx
+    g0 = ctx.levels[0].spec.primary
+    apply64, _ = outer_precision_operator(ctx, jnp.float64)
+    if cfg.problem == "aniso":
+        b = aniso_rhs_grid(ctx.problem, g0.ny, g0.nx, jnp.float64)
+    else:
+        b = rhs_grid(ctx.problem, MeshType(cfg.mesh), g0.ny, g0.nx,
+                     jnp.float64)
+    r = b - jax.jit(apply64)(jnp.asarray(res.u[0], jnp.float64))
+    return float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
+
+
 def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
                certify: bool = True) -> dict:
     rec: dict = {"name": name, "npts": cfg.npts, "cycle": cfg.cycle.name,
@@ -259,6 +280,21 @@ def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
             "converged": bool(resm.converged),
             "wall_s": resm.wall_time,
             "final_rel_residual": float(hist[-1]),
+        }
+        # Two-float32 outer (outer_dtype="float32x2", ops/twofloat.py):
+        # the same 1e-8 certification in double-single arithmetic at f32
+        # bandwidth — certified against the TRUE f64 residual since its
+        # own recursion carries ~2^-47 noise.
+        tf_cfg = dataclasses.replace(mx_cfg, outer_dtype="float32x2")
+        rest = solve(tf_cfg, plan=plan, u0=u0, timed=True)
+        rec["mixed_1e8_float32x2"] = {
+            "outer_iters": int(rest.iters),
+            "converged": bool(rest.converged),
+            "wall_s": rest.wall_time,
+            "final_rel_residual": float(rest.rnorm[-1]),
+            "true_f64_rel_residual": true_residual_f64(rest, cfg),
+            "speedup_vs_f64_outer": resm.wall_time / max(rest.wall_time,
+                                                         1e-9),
         }
     return rec
 

@@ -652,7 +652,10 @@ def build_context(
 ) -> MGContext:
     problem = problem or poisson_sin_problem()
     if (
-        cfg.dtype == "float64" or cfg.outer_dtype == "float64"
+        cfg.dtype == "float64"
+        or cfg.outer_dtype in ("float64", "float32x2")
+        # float32x2 needs x64 only at setup (f64 RHS/coefficients are
+        # split exactly into two-float32 parts); the solve loop is pure f32.
     ) and not jax.config.jax_enable_x64:
         # Without this, jnp silently truncates to f32 and a 1e-7 relative
         # residual target can spin to max_iter at the f32 roundoff floor.

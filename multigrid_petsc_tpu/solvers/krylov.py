@@ -126,6 +126,109 @@ def outer_precision_operator(ctx: MGContext, odt):
     return (lambda u: apply_stencil5(st, u)), st
 
 
+def outer_precision_operator_tf(ctx: MGContext):
+    """(apply_fn, stencil) like ``outer_precision_operator`` but in
+    two-float32 (double-single) arithmetic: the f64 coefficients are split
+    once at setup into hi/lo f32 pairs and applied with the ops.twofloat
+    kernels — f32-bandwidth applies with ~2^-47 effective precision."""
+    from multigrid_petsc_tpu.ops import twofloat as tf
+
+    _, st = outer_precision_operator(ctx, jnp.float64)
+    st_tf = tf.split_stencil(st)
+    if isinstance(st_tf, tf.Stencil9TF):
+        return (lambda u: tf.apply_stencil9(st_tf, u)), st_tf
+    return (lambda u: tf.apply_stencil5(st_tf, u)), st_tf
+
+
+def _solve_mgcg_mixed_tf(
+    ctx: MGContext, b0: State | None = None, u0=None
+) -> OuterResult:
+    """Two-float32 outer PCG (``outer_dtype="float32x2"``): the defect-
+    correction outer runs in double-single arithmetic (ops/twofloat.py)
+    instead of emulated f64 — same 1e-8 certification up to ~8193^2, at
+    f32 bandwidth (~40x faster per outer iteration on TPU).
+
+    The CG scalars (alpha, beta, norms) are plain f32: only the vector
+    updates and the operator apply set the attainable-residual floor; a
+    rounded step size just perturbs the search direction, and the residual
+    recursion stays consistent because the same alpha feeds both updates.
+    """
+    from multigrid_petsc_tpu.ops import twofloat as tf
+
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    assert not lvl0.spec.is_composite, "mixed outer: simple fine level only"
+    g0 = lvl0.spec.primary
+    apply_tf, _ = outer_precision_operator_tf(ctx)
+    pad0 = lvl0.pad_rows
+
+    inner_precond = _mg_precond(ctx, v0, v1)
+
+    def precond(r: tf.TF) -> tf.TF:
+        # hi is the correctly-rounded f32 view of the double-single value.
+        r32 = r.hi.astype(ctx.dtype)
+        if pad0:
+            r32 = jnp.pad(r32, ((0, pad0), (0, 0)))
+        z = inner_precond((r32,))[0]
+        if pad0:
+            z = z[: g0.ny]
+        return tf.from_f32(z.astype(jnp.float32))
+
+    # b0 arrives evaluated in f64 (solve() does this); split exactly.
+    b = tf.from_f64((ctx.b0 if b0 is None else b0)[0].astype(jnp.float64))
+    bnorm = tf.norm2(b)
+    hist_len = cfg.hist_len
+    flexible = ctx.precond_ctx is not None  # see solve_mgcg
+
+    if u0 is None:
+        u = tf.from_f32(jnp.zeros(g0.shape, jnp.float32))
+    else:
+        u = tf.from_f64(u0[0].astype(jnp.float64))
+    r = tf.sub(b, apply_tf(u))
+    rn0 = tf.norm2(r)
+    z = precond(r)
+    p = z
+    rz = tf.dot(r, z)
+    hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
+
+    def cond(c):
+        u, r, r_prev, p, rz, i, rn, hist = c
+        return (
+            (i < cfg.max_iter)
+            & (cfg.divtol * bnorm > rn)
+            & (rn > cfg.rtol * bnorm)
+        )
+
+    def body(c):
+        u, r, r_prev, p, rz, i, rn, hist = c
+        ap = apply_tf(p)
+        alpha = rz / tf.dot(p, ap)
+        u = tf.axpy(alpha, p, u)
+        r_new = tf.axpy(-alpha, ap, r)
+        rn = tf.norm2(r_new)
+        z = precond(r_new)
+        rz_new = tf.dot(r_new, z)
+        if flexible:
+            num = rz_new - tf.dot(r, z)
+            beta = jnp.maximum(num / rz, 0.0)
+        else:
+            beta = rz_new / rz
+        p = tf.axpy(beta, p, z)
+        hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
+        return (u, r_new, r, p, rz_new, i + 1, rn, hist)
+
+    u, r, r_prev, p, rz, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, r, p, rz, 0, rn0, hist)
+    )
+    return OuterResult(
+        u=(tf.to_f64(u),),
+        rnorm_history=hist / hist[0],
+        iters=iters,
+        converged=rn <= cfg.rtol * bnorm,
+    )
+
+
 def solve_mgcg_mixed(
     ctx: MGContext, b0: State | None = None, u0=None
 ) -> OuterResult:
@@ -145,6 +248,8 @@ def solve_mgcg_mixed(
     as uniform Poisson.  ``u0`` warm-starts the outer iteration.
     """
     cfg = ctx.config
+    if cfg.outer_dtype == "float32x2":
+        return _solve_mgcg_mixed_tf(ctx, b0, u0)
     odt = jnp.dtype(cfg.outer_dtype)
     v0, v1 = cfg.v
     lvl0 = ctx.levels[0]

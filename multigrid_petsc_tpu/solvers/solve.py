@@ -123,7 +123,11 @@ def solve(
         from multigrid_petsc_tpu.mesh import MeshType
 
         g0 = ctx.levels[0].spec.primary
-        odt = jnp.dtype(cfg.outer_dtype)
+        # float32x2 (double-single) outer: the RHS is evaluated in f64 and
+        # split exactly inside the driver (ops/twofloat.from_f64).
+        odt = jnp.dtype(
+            "float64" if cfg.outer_dtype == "float32x2" else cfg.outer_dtype
+        )
         if cfg.problem == "aniso":
             from multigrid_petsc_tpu.problems import aniso_rhs_grid
 
@@ -147,7 +151,11 @@ def solve(
             # The defect-correction outer is already a correction solve:
             # warm-start it directly (it recomputes its own first residual
             # in the outer dtype).
-            u0_mixed = tuple(jnp.asarray(x, cfg.outer_dtype) for x in u0)
+            wdt = (
+                "float64" if cfg.outer_dtype == "float32x2"
+                else cfg.outer_dtype
+            )
+            u0_mixed = tuple(jnp.asarray(x, wdt) for x in u0)
             u0 = None
         else:
             u0 = tuple(jnp.asarray(x, ctx.dtype) for x in u0)

@@ -75,10 +75,13 @@ class SolverConfig:
     rtol: float = 1.0e-7      # relative-residual stop (src/solver.c:1530)
     divtol: float = 1.0e8     # divergence guard (src/solver.c:1530)
     dtype: str = "float64"    # "float32" | "float64" | "bfloat16"
-    outer_dtype: str | None = None  # e.g. "float64" over f32: mixed-precision
-    # defect-correction outer loop (residuals/corrections in outer_dtype,
-    # MG preconditioner in dtype) — certifies 1e-8 residuals on TPU where
-    # f64 compute is emulated but f32 alone hits its roundoff floor
+    outer_dtype: str | None = None  # "float64" | "float32x2" over f32:
+    # mixed-precision defect-correction outer loop (residuals/corrections
+    # in outer_dtype, MG preconditioner in dtype) — certifies 1e-8
+    # residuals on TPU where f32 alone hits its roundoff floor.
+    # "float32x2" = double-single arithmetic (ops/twofloat.py): ~2^-47
+    # precision at f32 bandwidth, ~40x faster per outer iteration than
+    # emulated f64 on TPU; good up to ~8193^2 at rtol 1e-8
     history_len: int | None = None  # residual-history capacity (default: max_iter)
     fgmres_restart: int = 10  # FGMRES(m) restart length (memory: ~2m+1
     # fine-grid vectors live; lower it for very large grids)

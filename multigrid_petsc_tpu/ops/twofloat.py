@@ -19,15 +19,30 @@ outer true-residual loop of the PCMG path (src/solver.c:1884-1989) —
 the reference runs everything in native double; on TPU that precision
 has to be composed from f32 pairs.
 
-Correctness requires IEEE-754 f32 ops with round-to-nearest (TPU VPU
-elementwise f32 is IEEE; fusing a*b-p into an FMA only makes Dekker's
-product error term exact, so FMA rewrites are safe).
+Correctness requires IEEE-754 f32 ops with round-to-nearest AND that
+every intermediate is rounded to f32.  The second condition is the subtle
+one under XLA: backend codegen may CONTRACT a multiply feeding an
+add/subtract into one fused-multiply-add, skipping the product's
+rounding.  Contracting ``a*b - p`` inside two_prod's error term is exact
+(that IS the fma of the error), but contracting the product ``p = a*b``
+itself into a downstream sum (observed on XLA:CPU: ``s = p + p2`` became
+``fma(a, b, p2)``, changing s by 1 ulp and silently destroying the
+renormalization invariant |lo| <= ulp(hi)/2) breaks the arithmetic at
+eps32 scale.  Every intermediate whose ROUNDED value is load-bearing —
+two_prod's p, the Dekker split's t, and the EFT sums s — is therefore
+pinned with ``lax.reduce_precision(v, 8, 23)``: semantically the f32
+identity, but an explicit HLO rounding op that no backend may contract
+across (``lax.optimization_barrier`` does NOT work for this — XLA's
+barrier expander strips it before fusion, observed on XLA:CPU).  All
+other products only feed low-order error terms where an fma rewrite is
+harmless or beneficial.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 _F32 = jnp.float32
@@ -50,9 +65,15 @@ class TF(NamedTuple):
 # Error-free transformations (all exact identities in IEEE f32).
 # ---------------------------------------------------------------------------
 
+def _rp32(v):
+    """Pin ``v`` to its rounded f32 value: an explicit rounding op that
+    backend codegen cannot fma-contract across (see module docstring)."""
+    return jax.lax.reduce_precision(v, exponent_bits=8, mantissa_bits=23)
+
+
 def two_sum(a, b):
     """s + e == a + b exactly, s = fl(a+b) (Knuth; branch-free)."""
-    s = a + b
+    s = _rp32(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -60,21 +81,24 @@ def two_sum(a, b):
 
 def fast_two_sum(a, b):
     """Exact sum assuming |a| >= |b| (Dekker)."""
-    s = a + b
+    s = _rp32(a + b)
     e = b - (s - a)
     return s, e
 
 
 def _split(a):
-    t = _SPLIT * a
+    # t must be the ROUNDED product (an fma-contracted t - a would skip
+    # that rounding and corrupt the split) — see module docstring.
+    t = _rp32(_SPLIT * a)
     hi = t - (t - a)
     return hi, a - hi
 
 
 def two_prod(a, b):
     """p + e == a * b exactly, p = fl(a*b) (Dekker split; an FMA rewrite
-    of the error term is exact and therefore harmless)."""
-    p = a * b
+    of the error TERM ``a*b - p`` is exact and therefore harmless, but p
+    itself must stay a rounded value — see module docstring)."""
+    p = _rp32(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

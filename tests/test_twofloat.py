@@ -71,6 +71,34 @@ class TestEFT:
         assert float(add_err) < 1e-13
         assert float(mul_err) < 1e-13
 
+    def test_compiled_axpy_chain_keeps_ds_precision(self):
+        """Regression canary for fma contraction in compiled EFTs.
+
+        XLA:CPU codegen contracts a duplicated multiply feeding an add
+        into one fma, which silently destroys double-single arithmetic
+        when the whole update chain compiles as one fusion (the exact
+        shape of the CG vector updates inside lax.while_loop).  The
+        reduce_precision pins in ops/twofloat.py prevent it; this test
+        fails if a backend change ever re-breaks it.
+        """
+        x64 = jnp.asarray(_rand(4096, 12))
+        y64 = jnp.asarray(_rand(4096, 13))
+        a = jnp.float32(1.0134567)
+
+        def chain(a, x, y):
+            u = tf.axpy(a, x, y)       # y + a x
+            r = tf.axpy(-a, y, u)      # u - a y
+            return tf.axpy(a, r, u)    # u + a r
+
+        x, y = tf.from_f64(x64), tf.from_f64(y64)
+        got = tf.to_f64(jax.jit(chain)(a, x, y))
+        a64 = jnp.float64(a)
+        u64 = y64 + a64 * x64
+        want = u64 + a64 * (u64 - a64 * y64)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(want)))
+        assert err < 2.0**-44 * scale, err
+
     def test_dot_accuracy(self):
         x64 = jnp.asarray(_rand((128, 128), 8))
         y64 = jnp.asarray(_rand((128, 128), 9))

@@ -316,6 +316,13 @@ def dist_level_visit_local(
             in_specs=in_specs,
             out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
             out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+            # u' aliases the dead-after input u (see stencil_kernel.
+            # smooth_sweeps_pallas): elides XLA's copy pass around carried
+            # kernel outputs; safe in-place since each program reads only
+            # its own u slab (halos ride separate exchanged arrays).
+            input_output_aliases=(
+                {} if emit in ("a", "r") else {2: 0}
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2**20
             ),

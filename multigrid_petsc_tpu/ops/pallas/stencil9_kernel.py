@@ -307,6 +307,11 @@ def smooth9_sweeps_pallas(
             in_specs=cspecs + [mid, halo, halo, mid, halo, halo],
             out_specs=mid,
             out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+            # u' aliases the dead-after input u (see stencil_kernel.
+            # smooth_sweeps_pallas): elides XLA's backedge copy around
+            # carried kernel outputs; in-place is safe because each
+            # program reads only its own u slab.
+            input_output_aliases={len(carrs): 0},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2**20
             ),

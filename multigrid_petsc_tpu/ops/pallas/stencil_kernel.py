@@ -340,6 +340,12 @@ def smooth_sweeps_pallas(
             out_specs=pl.BlockSpec((t, nx), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ny, nx), u.dtype),
+            # u is dead after a smooth: writing u' into u's buffer lets
+            # XLA elide the loop-backedge copy that otherwise caps any
+            # carried pallas output at ~half the HBM rate (probe_dma.py).
+            # Safe in-place: each program reads only its OWN u slab (the
+            # halo rows ride in separate gathered arrays).
+            input_output_aliases={1: 0},
             # The unrolled k-sweep temporaries exceed Mosaic's default
             # 16MB scoped-vmem at production row widths (observed 16.55M
             # at nx=8191, t=48); v5e/v5p have 128MB VMEM.
@@ -713,6 +719,10 @@ def fused_level_visit_pallas(
             in_specs=in_specs,
             out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
             out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+            # Output u' aliases the (dead-after) input u — elides the
+            # XLA backedge/copy pass around carried kernel outputs (see
+            # smooth_sweeps_pallas note).  emit="r" outputs r, not u.
+            input_output_aliases={} if emit == "r" else {1: 0},
             # The kernel's in-VMEM temporaries (k unrolled sweeps over the
             # halo-extended slab) exceed Mosaic's default 16MB scoped-vmem
             # limit at production widths; v5e/v5p have 128MB VMEM.

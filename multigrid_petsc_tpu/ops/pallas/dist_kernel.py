@@ -51,12 +51,12 @@ from multigrid_petsc_tpu.ops.stencil import Stencil5
 from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
     _compute_dtype,
     _load_f32,
-    _prolong_x_vmem,
-    _restrict_x_vmem,
     _shift_e,
     _shift_w,
     _store,
     _x64_scope,
+    prolong_x_bilinear,
+    restrict_x_fw,
 )
 
 # Extra halo rows beyond the smoothing steps, per emit mode (the trailing
@@ -148,12 +148,14 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
             axis=0)
 
         if correct:
-            # In-VMEM bilinear prolongation of the coarse correction (same
-            # transposed sublane-interleave as the single-device kernel).
+            # y-half of the bilinear prolongation (parity-split sublane
+            # interleave); the x-half arrived pre-applied by the XLA
+            # prolong_x_bilinear pass (same split as the single-device
+            # kernel — the in-VMEM transposes it replaced cost 4-5x the
+            # extra half-height HBM pass).
             e_loc = jnp.concatenate(
                 [_load_f32(et_ref)[0], _load_f32(em_ref),
                  _load_f32(eb_ref)[0]], axis=0)
-            e_loc = _prolong_x_vmem(e_loc)
             prev, cur = e_loc[:-1], e_loc[1:]
             if h % 2 == 0:
                 # Slab starts on an even (padded-)global fine row.
@@ -191,19 +193,21 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
         if emit == "ur":
             _store(outs[1], (b - apply_a(u))[h : h + t])
         elif emit == "rc":
+            # y-half of the restriction only; x-half runs as one XLA
+            # strided pass outside (restrict_x_fw).
             r = b - apply_a(u)
             v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
             ev, od = v[:, 0], v[:, 1]
             ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
-            rc = _restrict_x_vmem(ev + 2.0 * od + ev_next)
+            ry = ev + 2.0 * od + ev_next
             # The global coarse PAD row (last coarse row of the last
             # device) reads the last REAL fine residual row — pin it to 0
             # so the coarse RHS keeps the pad-absorbing invariant.
-            rows = jax.lax.broadcasted_iota(jnp.int32, rc.shape, 0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ry.shape, 0)
             pad_row = ((flag_ref[0, 0] == 1)
                        & (i == jnp.int32(g - 1))
                        & (rows == jnp.int32(t // 2 - 1)))
-            _store(outs[1], jnp.where(pad_row, jnp.zeros_like(rc), rc))
+            _store(outs[1], jnp.where(pad_row, jnp.zeros_like(ry), ry))
 
     return kernel
 
@@ -272,10 +276,13 @@ def dist_level_visit_local(
     args = [flag, c_slabs, u, u_top, u_bot, b, b_top, b_bot]
 
     if correct:
-        nxc = e.shape[1]
+        # x-half of the prolongation on the local quarter-size block
+        # BEFORE the halo exchange (x is unsharded, so this is a purely
+        # local XLA pass; the exchanged rows are ~2x wider but still tiny).
+        e_x = prolong_x_bilinear(e)  # (R//2, nx)
         th, bh = _e_halo_rows(h)
-        e_ext_t, e_ext_b = _edge_exchange(e, max(th, bh), axis)
-        eblocks = e.reshape(g, t // 2, nxc)
+        e_ext_t, e_ext_b = _edge_exchange(e_x, max(th, bh), axis)
+        eblocks = e_x.reshape(g, t // 2, nx)
         if g == 1:
             e_top = e_ext_t[-th:][None]
             e_bot = e_ext_b[:bh][None]
@@ -287,14 +294,14 @@ def dist_level_visit_local(
                 [eblocks[1:, :bh], e_ext_b[:bh][None]], axis=0
             )
         in_specs += [
-            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, nxc), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, th, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, nxc), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bh, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args += [e, e_top, e_bot]
+        args += [e_x, e_top, e_bot]
 
     out_specs = [mid]
     out_shape = [jax.ShapeDtypeStruct((R, nx), u.dtype)]
@@ -302,15 +309,16 @@ def dist_level_visit_local(
         out_specs.append(mid)
         out_shape.append(jax.ShapeDtypeStruct((R, nx), u.dtype))
     elif emit == "rc":
-        nxc_out = (nx - 1) // 2
+        # Half-height FULL-width y-restricted residual; x-half applied
+        # below (restrict_x_fw) as a local XLA pass.
         out_specs.append(
-            pl.BlockSpec((t // 2, nxc_out), lambda i: (i, 0),
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((R // 2, nxc_out), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((R // 2, nx), u.dtype))
 
     with _x64_scope(u.dtype):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _make_dist_kernel(t, g, h, steps, emit, correct),
             grid=(g,),
             in_specs=in_specs,
@@ -328,3 +336,7 @@ def dist_level_visit_local(
             ),
             interpret=interpret,
         )(*args)
+    if emit == "rc":
+        u_out, ry = out
+        return u_out, restrict_x_fw(ry)
+    return out

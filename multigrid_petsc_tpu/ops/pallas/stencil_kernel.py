@@ -471,16 +471,43 @@ def apply_stencil5_field_pallas(
 #   down-leg:  (u, b)            -> smooth -> u', restrict(b - A u')
 #   up-leg:    (u, b, e_coarse)  -> u + P e -> smooth -> u' [, b - A u']
 #
-# The y-direction halves of the transfers run in-VMEM (Mosaic lowers
-# sublane-dim reshape-interleaves; strided slices do NOT lower — verified
-# on v5p); the x-direction halves are single cheap XLA passes over the
-# HALF-height intermediates (``_prolong_x`` / ``_restrict_x``).
+# Transfer split: the y-direction (sublane) halves of the restriction/
+# prolongation run IN-KERNEL (Mosaic lowers sublane reshape-interleaves
+# cheaply; strided lane slices do NOT lower — verified on v5p), while the
+# x-direction (lane) halves run as single XLA strided passes over the
+# HALF-HEIGHT intermediates outside the kernel.  Round 2 did the x-halves
+# in-kernel via transposed sublane interleaves; measured on v5e at 8191^2
+# those VPU transposes cost ~1.5-2 ms per visit — 4-5x the HBM cost of
+# simply streaming the half-height intermediate through one fused XLA
+# pass (~0.4 ms), so the split is a large net win and keeps the exact
+# restrict_fw/bilinear op order (bit-identical sums).
 #
 # Halo sizing: with ``h`` exact halo rows and k smoothing steps, rows
 # within distance h-k of the slab stay exact; the trailing residual apply
 # costs one more row, and the y-restriction window [2c, 2c+2] one more:
 #   emit="u"    h = k        emit="ur"  h = k + 1     emit="rc"  h = k + 2.
 # --------------------------------------------------------------------------
+
+
+def restrict_x_fw(ry: jnp.ndarray) -> jnp.ndarray:
+    """x-direction half of full weighting on a y-restricted residual,
+    (nyc, 2*nxc+1) -> (nyc, nxc), including the overall 1/16 scale —
+    the same strided-slice composition as transfer.restrict_fw's column
+    pass (bit-identical)."""
+    return 0.0625 * (ry[:, 0:-2:2] + 2.0 * ry[:, 1::2] + ry[:, 2::2])
+
+
+def prolong_x_bilinear(e: jnp.ndarray) -> jnp.ndarray:
+    """x-direction half of bilinear prolongation, (n, m) -> (n, 2m+1):
+    fine col 2J+1 = e[:, J], col 2J = neighbor average (zero Dirichlet
+    edges) — the same averaging order as the in-kernel y-half applies
+    afterwards, so the composition matches the fused 2-D prolongation."""
+    n, m = e.shape
+    z = jnp.zeros((n, 1), e.dtype)
+    ep = jnp.concatenate([z, e, z], axis=1)  # (n, m+2)
+    ph = 0.5 * (ep[:, :-1] + ep[:, 1:])  # (n, m+1): fine even cols
+    body = jnp.stack([ph[:, :m], e], axis=2).reshape(n, 2 * m)
+    return jnp.concatenate([body, ph[:, m:]], axis=1)
 
 
 def _gather_rows(x: jnp.ndarray, g: int, stride: int, lo: int, rows: int):
@@ -558,18 +585,18 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
         b = jnp.where(inside, b, 0.0)
 
         if correct:
-            # In-VMEM bilinear prolongation of the raw coarse correction:
-            # x-direction by transposed sublane interleave, y-direction by
-            # parity-split interleave.  e_loc rows cover coarse rows
-            # [i*t/2 - th, ...); main block is BlockSpec-aligned, halos
-            # host-gathered (zero-filled OOR).
+            # y-direction half of the bilinear prolongation (parity-split
+            # sublane interleave); the x-half arrived pre-applied by the
+            # XLA prolong_x_bilinear pass, so e_loc rows are already
+            # full-width.  e_loc rows cover coarse rows [i*t/2 - th, ...);
+            # main block is BlockSpec-aligned, halos host-gathered
+            # (zero-filled OOR).
             em = _load_f32(em_ref)
             crow = (i * jnp.int32(t // 2)
                     + jax.lax.broadcasted_iota(jnp.int32, em.shape, 0))
             em = jnp.where(crow < jnp.int32(nyc), em, 0.0)  # ragged pad
             e_loc = jnp.concatenate(
                 [_load_f32(et_ref)[0], em, _load_f32(eb_ref)[0]], axis=0)
-            e_loc = _prolong_x_vmem(e_loc)  # (hc, nx)
             prev, cur = e_loc[:-1], e_loc[1:]
             if h % 2 == 0:
                 # slab starts on an even fine row: (even, odd) pairs.
@@ -609,13 +636,14 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             r = b - apply_a(u)
             _store(outs[1], r[h : h + t])
         elif emit == "rc":
-            # Full-weighting restriction of the final residual: y-direction
-            # (window rows [2c, 2c+2] global) then x in-VMEM.
+            # y-direction half of the full-weighting restriction (window
+            # rows [2c, 2c+2] global); the x-half is a single XLA strided
+            # pass over this half-height output (restrict_x_fw).
             r = b - apply_a(u)
             v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
             ev, od = v[:, 0], v[:, 1]
             ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
-            _store(outs[1], _restrict_x_vmem(ev + 2.0 * od + ev_next))
+            _store(outs[1], ev + 2.0 * od + ev_next)
 
     return kernel
 
@@ -684,21 +712,23 @@ def fused_level_visit_pallas(
     args = [c_slabs, u, u_top, u_bot, b, b_top, b_bot]
 
     if correct:
-        e_c = e_coarse.astype(u.dtype)  # (nyc, nxc): raw coarse grid
+        # x-half of the prolongation as one cheap XLA pass over the
+        # quarter-size coarse grid; the kernel only y-interleaves.
+        e_x = prolong_x_bilinear(e_coarse.astype(u.dtype))  # (nyc, nx)
         th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
         rows = t // 2 + h + 1
         bh = rows - t // 2 - th
-        e_top = _gather_rows(e_c, g, t // 2, -th, th)
-        e_bot = _gather_rows(e_c, g, t // 2, t // 2, bh)
+        e_top = _gather_rows(e_x, g, t // 2, -th, th)
+        e_bot = _gather_rows(e_x, g, t // 2, t // 2, bh)
         in_specs += [
-            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, nxc), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, th, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, nxc), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, bh, nx), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args += [e_c, e_top, e_bot]
+        args += [e_x, e_top, e_bot]
 
     out_specs = [mid]
     out_shape = [jax.ShapeDtypeStruct((ny, nx), u.dtype)]  # u (or r for "r")
@@ -706,11 +736,13 @@ def fused_level_visit_pallas(
         out_specs.append(mid)
         out_shape.append(jax.ShapeDtypeStruct((ny, nx), u.dtype))
     elif emit == "rc":
+        # Half-height, FULL-width y-restricted residual; the x-half runs
+        # as one XLA strided pass after the call (restrict_x_fw).
         out_specs.append(
-            pl.BlockSpec((t // 2, nxc), lambda i: (i, 0),
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((nyc, nxc), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((nyc, nx), u.dtype))
 
     with _x64_scope(u.dtype):
         out = pl.pallas_call(
@@ -731,7 +763,9 @@ def fused_level_visit_pallas(
             ),
             interpret=interpret,
         )(*args)
-    return out  # u, (u, r) or (u, rc) — transfers fully in-kernel
+    if emit == "rc":
+        return out[0], restrict_x_fw(out[1])
+    return out  # u, (u, r) or (u, rc)
 
 
 def fused_visit_viable(ny: int, sweeps: int, emit: str = "rc") -> bool:

@@ -32,6 +32,12 @@ import pytest
 
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Hardware tier: first compile of each kernel over the tunneled
+    # backend takes 20-40s — share the persistent compile cache with the
+    # bench scripts so repeat runs take seconds.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mgtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_enable_x64", True)
 
 

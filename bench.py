@@ -29,8 +29,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main() -> None:
+    import dataclasses
+
     from benchmarks.baseline_configs import (
-        dispatch_floor,
         measured_bandwidth,
         modeled_bytes_per_iter,
     )
@@ -48,19 +49,27 @@ def main() -> None:
     res = solve(cfg, timed=True)
     assert res.converged, "bench solve failed to converge"
 
+    # DEVICE per-cycle time by iteration differencing (the methodology of
+    # benchmarks/baseline_configs.run_config): two forced-length runs of
+    # the same compiled solve; the difference cancels the fixed per-call
+    # costs (tunnel RTT ~25-50 ms, transfers), which otherwise dominate a
+    # ~100 ms solve and make the reported fraction noise.
+    forced = dataclasses.replace(cfg, rtol=1e-30, divtol=1e30)
+    k1, k2 = 3, 13
+    t1 = solve(dataclasses.replace(forced, max_iter=k1), timed=True).wall_time
+    t2 = solve(dataclasses.replace(forced, max_iter=k2), timed=True).wall_time
+    s_per_cycle = max((t2 - t1) / (k2 - k1), 1e-7)
+
     bw = measured_bandwidth(min(8191, npts - 2))
-    # Net of the fixed per-call dispatch round trip (~50 ms through the
-    # tunneled backend) so the fraction reflects device work.
-    net_wall = max(res.wall_time - dispatch_floor(), 1e-6)
     per_iter = modeled_bytes_per_iter(res.ctx)
-    frac = (per_iter * res.iters / net_wall) / bw
+    frac = (per_iter / s_per_cycle) / bw
     n2 = (npts - 2) ** 2
 
     print(
         json.dumps(
             {
                 "metric": "mgcg_full_solve_points_per_s",
-                "value": round(n2 * res.iters / net_wall),
+                "value": round(n2 / s_per_cycle),
                 "unit": "point-updates/s",
                 "vs_baseline": round(frac, 4),
             }

@@ -185,6 +185,78 @@ def thomas_tridiagonal(dl, d, du, rhs):
     return xs
 
 
+def _shift_fwd(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """y[i] = x[i - s] (rows shifted toward larger i), ``fill`` outside."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-s]], axis=0)
+
+
+def _shift_bwd(x: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """y[i] = x[i + s], ``fill`` outside."""
+    pad = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[s:], pad], axis=0)
+
+
+class PCRFactor(NamedTuple):
+    """Parallel-cyclic-reduction factorization of a tridiagonal matrix.
+
+    The matrix-only part of the reduction (the per-step elimination
+    multipliers and the fully-reduced diagonal) is precomputed once; each
+    ``pcr_solve`` then runs only ceil(log2 n) fully-vectorized passes over
+    the RHS — the TPU-native replacement for a sequential Thomas scan,
+    whose 2n lax.scan steps are latency-bound on (1, nx) rows.  Step k of
+    the stored sequence uses stride 2**k (implied; not stored).
+    """
+
+    alphas: tuple  # per-step -a_i / d_{i-s}, broadcastable to (n, w)
+    gammas: tuple  # per-step -c_i / d_{i+s}
+    dinv: jnp.ndarray  # 1 / fully-reduced diagonal
+
+
+def pcr_factor(dl, d, du, n: int) -> PCRFactor:
+    """Precompute the PCR elimination for the n×n tridiagonal systems
+    (dl, d, du) (each broadcastable to (n, w); dl[0], du[n-1] ignored).
+
+    Numerically stable for the diagonally dominant systems produced by
+    line relaxation.  Cost: ceil(log2 n) vectorized passes over the
+    coefficient arrays, once at setup.
+    """
+    shape = jnp.broadcast_shapes(
+        jnp.shape(dl), jnp.shape(d), jnp.shape(du), (n, 1)
+    )
+    dt = jnp.result_type(dl, d, du)
+    a = jnp.broadcast_to(dl, shape).astype(dt).at[0].set(0.0)
+    dd = jnp.broadcast_to(d, shape).astype(dt)
+    c = jnp.broadcast_to(du, shape).astype(dt).at[-1].set(0.0)
+
+    alphas, gammas = [], []
+    s = 1
+    while s < n:
+        # Equations at i-s / i+s; out-of-range rows are identity equations
+        # (d=1, a=c=0, r=0), which leave eq i unchanged there.
+        alpha = -a / _shift_fwd(dd, s, 1.0)
+        gamma = -c / _shift_bwd(dd, s, 1.0)
+        dd = (dd + alpha * _shift_fwd(c, s, 0.0)
+              + gamma * _shift_bwd(a, s, 0.0))
+        a = alpha * _shift_fwd(a, s, 0.0)
+        c = gamma * _shift_bwd(c, s, 0.0)
+        alphas.append(alpha)
+        gammas.append(gamma)
+        s *= 2
+    return PCRFactor(tuple(alphas), tuple(gammas), 1.0 / dd)
+
+
+def pcr_solve(fac: PCRFactor, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve the factored tridiagonal systems for ``rhs`` (n, m):
+    ceil(log2 n) shift+FMA passes, all columns in parallel."""
+    r = rhs
+    s = 1
+    for alpha, gamma in zip(fac.alphas, fac.gammas):
+        r = r + alpha * _shift_fwd(r, s, 0.0) + gamma * _shift_bwd(r, s, 0.0)
+        s *= 2
+    return fac.dinv * r
+
+
 def line_jacobi_sweeps_y(
     st: Stencil9,
     b: jnp.ndarray,
@@ -203,9 +275,10 @@ def line_jacobi_sweeps_y(
     rates.  The batched tridiagonal solve runs all nx lines at once.
     """
     ny, nx = u.shape
-    cs = jnp.broadcast_to(st.cs, (ny, nx))
-    cn = jnp.broadcast_to(st.cn, (ny, nx))
-    cc = jnp.broadcast_to(st.cc, (ny, nx))
+    # Factor the (static) line systems once per call with PCR; each sweep
+    # then costs only log2(ny) vectorized passes instead of a 2*ny-step
+    # sequential Thomas scan (latency-bound at ~5 ms/cycle on v5e).
+    fac = pcr_factor(st.cs, st.cc, st.cn, ny)
 
     def off_line(u):
         p = _pad1(u)
@@ -220,7 +293,7 @@ def line_jacobi_sweeps_y(
 
     def body(_, u):
         rhs = b - off_line(u)
-        u_line = thomas_tridiagonal(cs, cc, cn, rhs)
+        u_line = pcr_solve(fac, rhs)
         return (1.0 - omega) * u + omega * u_line
 
     return jax.lax.fori_loop(0, sweeps, body, u)

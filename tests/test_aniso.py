@@ -10,6 +10,8 @@ from multigrid_petsc_tpu.ops.stencil import (
     apply_stencil9,
     line_jacobi_sweeps_x,
     line_jacobi_sweeps_y,
+    pcr_factor,
+    pcr_solve,
     thomas_tridiagonal,
 )
 from multigrid_petsc_tpu.problems import (
@@ -36,6 +38,38 @@ def test_thomas_matches_dense():
         a += np.diag(np.asarray(du[:-1, j]), 1)
         expect = np.linalg.solve(a, np.asarray(rhs[:, j]))
         np.testing.assert_allclose(x[:, j], expect, rtol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 3, 17, 64, 127])
+def test_pcr_matches_thomas(n):
+    """PCR (the vectorized line solve on the smoother hot path) solves the
+    same diagonally dominant systems as the sequential Thomas scan."""
+    rng = np.random.default_rng(n)
+    m = 5
+    d = jnp.asarray(rng.uniform(3, 4, (n, m)))
+    dl = jnp.asarray(rng.standard_normal((n, m)))
+    du = jnp.asarray(rng.standard_normal((n, m)))
+    rhs = jnp.asarray(rng.standard_normal((n, m)))
+    expect = np.asarray(thomas_tridiagonal(dl, d, du, rhs))
+    got = np.asarray(pcr_solve(pcr_factor(dl, d, du, n), rhs))
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_pcr_broadcast_coefficients():
+    """(n, 1) / scalar coefficient widths factor at their own width and
+    broadcast against a full-width RHS (the stretched-mesh line systems)."""
+    n, m = 33, 7
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.uniform(3, 4, (n, 1)))
+    dl, du = jnp.asarray(-1.0), jnp.asarray(-1.0)
+    rhs = jnp.asarray(rng.standard_normal((n, m)))
+    fac = pcr_factor(dl, d, du, n)
+    assert fac.dinv.shape == (n, 1)
+    expect = np.asarray(thomas_tridiagonal(
+        jnp.broadcast_to(dl, (n, m)), jnp.broadcast_to(d, (n, m)),
+        jnp.broadcast_to(du, (n, m)), rhs))
+    np.testing.assert_allclose(np.asarray(pcr_solve(fac, rhs)), expect,
+                               rtol=1e-9, atol=1e-12)
 
 
 @pytest.mark.parametrize(

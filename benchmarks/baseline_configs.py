@@ -146,18 +146,24 @@ def dispatch_floor(reps: int = 5) -> float:
 
 
 def modeled_bytes_per_iter(ctx, cycle=None) -> float:
-    """Minimum HBM bytes per outer iteration with the fused-visit V-cycle.
+    """Minimum HBM bytes per outer iteration with the fused-visit V-cycle
+    and the fused-CG kernels (round 3: zero-guess visits + cg_papply +
+    emitted inner products shrank the minimum — the model tracks it).
 
     Per level of size m^2 (element size B):
-      visit_down  reads (u, b), writes u and the restricted residual
-                  (m^2/4):                      3.25 m^2 B
-      visit_up    reads (u, b, e=m^2/4), writes u (+ r on the finest):
-                  3.25 m^2 B (+ m^2 B)
+      visit_down  zero-guess (all preconditioner/down-leg visits): reads
+                  b, writes u and the restricted residual (m^2/4):
+                  2.25 m^2 B
+      visit_up    reads (u, b, e=m^2/4), writes u (+ r on the finest for
+                  emit_r cycles):               3.25 m^2 B (+ m^2 B)
       coarsest    one smooth read b write u:    2 m^2 B
-    Outer overhead on the fine grid: mg-CG's vector work (apply p -> Ap
-    with fused dot; axpys u,r; norm; z-dot; p update) ~13 n^2 B; plain
-    V-cycle/FMG iteration only reads the emitted residual for the norm
-    (~1 n^2 B).
+    Outer overhead on the fine grid:
+      mg-CG (fused path): cg_papply reads (z, p) writes (p', Ap') with the
+      curvature dot emitted (4 n^2 B) + u/r axpys reading (u, p', r, Ap')
+      writing (u, r) with the norm fused (6 n^2 B) and <r, z> emitted by
+      the final up-visit: ~10 n^2 B.  Plain V-cycle iteration: the level-0
+      down-visit is NOT zero-guess (+1 n^2 B vs the model row above) and
+      the emitted residual feeds the norm (+1 n^2 B).
     """
     B = jnp.dtype(ctx.dtype).itemsize
     # Reduced-precision preconditioner: the V-cycle visits move elements
@@ -169,10 +175,11 @@ def modeled_bytes_per_iter(ctx, cycle=None) -> float:
     ]
     n2 = sizes[0]
     cyc = cycle if cycle is not None else ctx.config.cycle
-    total = (13.0 if cyc == CycleType.MGCG else 1.0) * n2 * B
+    total = (10.0 if cyc == CycleType.MGCG else 2.0) * n2 * B
     for m2 in sizes[:-1]:
-        total += 6.5 * m2 * Bp  # down + up fused visits
-    total += 1.0 * n2 * Bp  # emit_r on the finest up-visit
+        total += 5.5 * m2 * Bp  # zero-guess down + up fused visits
+    if cyc != CycleType.MGCG:
+        total += 1.0 * n2 * Bp  # emit_r on the finest up-visit
     total += 2.0 * sizes[-1] * Bp  # coarsest solve (>= one b read + u write)
     return total
 

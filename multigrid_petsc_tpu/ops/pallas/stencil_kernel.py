@@ -555,10 +555,16 @@ def _restrict_x_vmem(ry: jnp.ndarray) -> jnp.ndarray:
     return (0.0625 * (ev + 2.0 * od + ev_next)).T  # (tc, nxc)
 
 
-def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
+def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct,
+                        zero_guess=False, emit_dot=False):
     """Fused level-visit kernel body.  ``emit`` in {"u", "ur", "r", "rc"}
     ("r" = residual only, no u output — the standalone-residual case);
-    ``correct`` adds the prolonged coarse correction before smoothing."""
+    ``correct`` adds the prolonged coarse correction before smoothing.
+    ``zero_guess`` drops the u inputs entirely (u = 0): the down-leg
+    below the finest level — and every preconditioner application —
+    smooths from a zero initial guess, so reading (and materializing) a
+    zeros array plus its halo windows is pure wasted HBM traffic, and the
+    first smoothing step simplifies to z = D^-1 b (A·0 = 0)."""
     t2 = t + 2 * h
     th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2  # e_loc top-halo rows
     nyc = (ny - 1) // 2
@@ -567,21 +573,27 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
         if correct:
             (c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
              em_ref, et_ref, eb_ref, *outs) = refs
+        elif zero_guess:
+            c_ref, b_ref, bt_ref, bb_ref, *outs = refs
         else:
             c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, *outs = refs
 
         i = pl.program_id(0).astype(jnp.int32)
-        u = jnp.concatenate(
-            [_load_f32(ut_ref)[0], _load_f32(u_ref), _load_f32(ub_ref)[0]],
-            axis=0)
         b = jnp.concatenate(
             [_load_f32(bt_ref)[0], _load_f32(b_ref), _load_f32(bb_ref)[0]],
             axis=0)
+        if zero_guess:
+            u = jnp.zeros_like(b)
+        else:
+            u = jnp.concatenate(
+                [_load_f32(ut_ref)[0], _load_f32(u_ref),
+                 _load_f32(ub_ref)[0]], axis=0)
         # Global fine row of each slab row; phantom/ragged rows masked to 0.
         grow = (i * jnp.int32(t) - jnp.int32(h)
                 + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0))
         inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
-        u = jnp.where(inside, u, 0.0)
+        if not zero_guess:
+            u = jnp.where(inside, u, 0.0)
         b = jnp.where(inside, b, 0.0)
 
         if correct:
@@ -621,8 +633,15 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
                     + cw * _shift_w(v) + ce * _shift_e(v))
 
         p = jnp.zeros_like(u)
+        first = zero_guess
         for (alpha, beta) in steps:
-            z = dinv * (b - apply_a(u))
+            if first:
+                # Zero initial guess: A u = 0 — the first step is z = D^-1 b
+                # (identical numerics, one stencil application saved).
+                z = dinv * b
+                first = False
+            else:
+                z = dinv * (b - apply_a(u))
             p = beta * p + alpha * z
             u = jnp.where(inside, u + p, 0.0)
         if emit == "r":
@@ -631,6 +650,14 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
             _store(outs[0], (b - apply_a(u))[h : h + t])
             return
         _store(outs[0], u[h : h + t])
+        if emit_dot:
+            # Per-block partial of <b, u_final> — the preconditioner inner
+            # product <r, M r> the CG outer needs, for free (b = r and
+            # u_final = z inside a zero-guess preconditioner visit); rows
+            # outside the domain are already masked to zero.  The (g, 1)
+            # SMEM accumulator is one full-array block (TPU tiling rules
+            # reject sub-(8,128) blocks); program i writes row i.
+            outs[-1][i, 0] = jnp.sum(b[h : h + t] * u[h : h + t])
 
         if emit == "ur":
             r = b - apply_a(u)
@@ -651,10 +678,11 @@ def _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct):
 def fused_level_visit_pallas(
     st: Stencil5,
     b: jnp.ndarray,
-    u: jnp.ndarray,
+    u: jnp.ndarray | None,
     steps: tuple,
     emit: str = "u",
     e_coarse: jnp.ndarray | None = None,
+    emit_dot: bool = False,
     interpret: bool = False,
 ):
     """One fused V-cycle level visit on the hot path.
@@ -665,19 +693,27 @@ def fused_level_visit_pallas(
     u, (u, r), r alone, or (u, rc) according to ``emit`` ("r" skips the u
     output entirely — one fewer HBM write for standalone residuals).
 
+    ``u=None`` is the zero-initial-guess visit (the down-leg below the
+    finest level, and every preconditioner application): the u inputs and
+    their halo windows are dropped entirely and the first smoothing step
+    runs as z = D^-1 b — two fewer full HBM passes per visit.
+
     Raises ValueError when the grid is too small for the halo carry —
     callers fall back to the unfused jnp composition (see
     ``fused_visit_viable`` for the pre-check).
     """
     assert emit in ("u", "ur", "r", "rc")
-    ny, nx = u.shape
+    assert not emit_dot or emit == "u", "emit_dot: final-u visits only"
+    zero_guess = u is None
+    ny, nx = b.shape
     k = len(steps)
     h = k + (0 if emit == "u" else 1 if emit in ("ur", "r") else 2)
     correct = e_coarse is not None
+    assert not (zero_guess and correct), "zero-guess visit cannot correct"
     if emit == "rc" or correct:
         if ny % 2 == 0 or nx % 2 == 0:
             raise ValueError("transfers need odd (2n+1) grid dims")
-    t = _pick_tile(nx, u.dtype, bufs=12, cap=256)
+    t = _pick_tile(nx, b.dtype, bufs=12, cap=256)
     if ny < t + 2 * h:
         # 16-multiples keep the 'rc' half-height coarse block 8-aligned.
         t = max(16, ((ny - 2 * h) // 16) * 16)
@@ -689,12 +725,11 @@ def fused_level_visit_pallas(
     t2 = t + 2 * h
     nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
 
-    u_top, u_bot = _halo_windows(u, t, g, h)
     b_top, b_bot = _halo_windows(b, t, g, h)
 
     cols = jnp.concatenate(
         [c.reshape(1, -1)
-         for c in _coeff_cols(st, ny, _compute_dtype(u.dtype))], axis=0
+         for c in _coeff_cols(st, ny, _compute_dtype(b.dtype))], axis=0
     )  # (5, ny)
     import numpy as np
 
@@ -708,13 +743,18 @@ def fused_level_visit_pallas(
                         memory_space=pltpu.VMEM)
     coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    in_specs = [coeff, mid, halo, halo, mid, halo, halo]
-    args = [c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+    if zero_guess:
+        in_specs = [coeff, mid, halo, halo]
+        args = [c_slabs, b, b_top, b_bot]
+    else:
+        u_top, u_bot = _halo_windows(u, t, g, h)
+        in_specs = [coeff, mid, halo, halo, mid, halo, halo]
+        args = [c_slabs, u, u_top, u_bot, b, b_top, b_bot]
 
     if correct:
         # x-half of the prolongation as one cheap XLA pass over the
         # quarter-size coarse grid; the kernel only y-interleaves.
-        e_x = prolong_x_bilinear(e_coarse.astype(u.dtype))  # (nyc, nx)
+        e_x = prolong_x_bilinear(e_coarse.astype(b.dtype))  # (nyc, nx)
         th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
         rows = t // 2 + h + 1
         bh = rows - t // 2 - th
@@ -731,10 +771,10 @@ def fused_level_visit_pallas(
         args += [e_x, e_top, e_bot]
 
     out_specs = [mid]
-    out_shape = [jax.ShapeDtypeStruct((ny, nx), u.dtype)]  # u (or r for "r")
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), b.dtype)]  # u (or r for "r")
     if emit == "ur":
         out_specs.append(mid)
-        out_shape.append(jax.ShapeDtypeStruct((ny, nx), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((ny, nx), b.dtype))
     elif emit == "rc":
         # Half-height, FULL-width y-restricted residual; the x-half runs
         # as one XLA strided pass after the call (restrict_x_fw).
@@ -742,19 +782,33 @@ def fused_level_visit_pallas(
             pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-        out_shape.append(jax.ShapeDtypeStruct((nyc, nx), u.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((nyc, nx), b.dtype))
+    if emit_dot:
+        # Per-block <b, u> partials in SMEM; summed (g tiny scalars)
+        # outside.  One full-(g,1) block resident across the sequential
+        # grid — sub-(8,128) SMEM blocks don't satisfy TPU tiling rules.
+        out_specs.append(
+            pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((g, 1), _compute_dtype(b.dtype))
+        )
 
-    with _x64_scope(u.dtype):
+    with _x64_scope(b.dtype):
         out = pl.pallas_call(
-            _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct),
+            _make_vcycle_kernel(ny, nx, t, k, g, h, steps, emit, correct,
+                                zero_guess, emit_dot),
             grid=(g,),
             in_specs=in_specs,
             out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
             out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
             # Output u' aliases the (dead-after) input u — elides the
             # XLA backedge/copy pass around carried kernel outputs (see
-            # smooth_sweeps_pallas note).  emit="r" outputs r, not u.
-            input_output_aliases={} if emit == "r" else {1: 0},
+            # smooth_sweeps_pallas note).  emit="r" outputs r, not u;
+            # zero-guess visits have no u input to donate.
+            input_output_aliases=(
+                {} if (emit == "r" or zero_guess) else {1: 0}
+            ),
             # The kernel's in-VMEM temporaries (k unrolled sweeps over the
             # halo-extended slab) exceed Mosaic's default 16MB scoped-vmem
             # limit at production widths; v5e/v5p have 128MB VMEM.
@@ -765,6 +819,8 @@ def fused_level_visit_pallas(
         )(*args)
     if emit == "rc":
         return out[0], restrict_x_fw(out[1])
+    if emit_dot:
+        return out[0], jnp.sum(out[1])
     return out  # u, (u, r) or (u, rc)
 
 
@@ -785,3 +841,130 @@ def residual5_pallas(
     (emit="r" skips materializing the untouched u)."""
     return fused_level_visit_pallas(st, b, u, steps=(), emit="r",
                                     interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Fused CG direction step: p' = z + beta p; ap = A p'; <p', ap>.
+#
+# The CG outer's own fine-grid work is ~half its HBM traffic at scale.
+# Composed from jnp ops, the direction update + operator apply + curvature
+# inner product cost read z, read p, write p' (3) + read p', write ap (2)
+# + read p', read ap (2) = 7 passes; this kernel does it in 4 (read z,
+# read p, write p', write ap; the dot rides along as per-block SMEM
+# partials), and donates z -> ap and p -> p' so the while-loop-carried
+# direction vector p never pays XLA's backedge copy (see
+# smooth_sweeps_pallas).  The reference's equivalent step is the MatMult +
+# VecTDot pair inside PETSc's KSPSolve (reference: src/solver.c:1530-1550).
+# --------------------------------------------------------------------------
+
+
+def _make_cg_papply_kernel(ny, t, g):
+    tl = ny - (g - 1) * t  # valid rows in the ragged last block
+
+    def kernel(c_ref, beta_ref, z_ref, zt_ref, zb_ref, p_ref, pt_ref, pb_ref,
+               pn_ref, ap_ref, dot_ref):
+        i = pl.program_id(0).astype(jnp.int32)
+        beta = beta_ref[0, 0]
+        # (t+2, nx) slabs with one halo row on each side; p' = z + beta p
+        # computed on the full slab so A p' sees correct neighbor rows.
+        z = jnp.concatenate(
+            [_load_f32(zt_ref)[0], _load_f32(z_ref), _load_f32(zb_ref)[0]],
+            axis=0)
+        p = jnp.concatenate(
+            [_load_f32(pt_ref)[0], _load_f32(p_ref), _load_f32(pb_ref)[0]],
+            axis=0)
+        grow = (i * jnp.int32(t) - jnp.int32(1)
+                + jax.lax.broadcasted_iota(jnp.int32, z.shape, 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        pn = jnp.where(inside, z + beta * p, 0.0)
+
+        cs = c_ref[0, 0]
+        cw = c_ref[0, 1]
+        cc = c_ref[0, 2]
+        ce = c_ref[0, 3]
+        cn = c_ref[0, 4]
+        south = jnp.concatenate([jnp.zeros_like(pn[:1]), pn[:-1]], axis=0)
+        north = jnp.concatenate([pn[1:], jnp.zeros_like(pn[:1])], axis=0)
+        ap = (cc * pn + cs * south + cn * north
+              + cw * _shift_w(pn) + ce * _shift_e(pn))
+        pn_mid = pn[1 : 1 + t]
+        ap_mid = jnp.where(inside, ap, 0.0)[1 : 1 + t]
+        _store(pn_ref, pn_mid)
+        _store(ap_ref, ap_mid)
+        # (g, 1) SMEM partials: one full-array block, program i writes
+        # row i (sub-(8,128) SMEM blocks fail TPU tiling rules).
+        dot_ref[i, 0] = jnp.sum(pn_mid * ap_mid)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cg_papply_pallas(
+    st: Stencil5,
+    z: jnp.ndarray,
+    p: jnp.ndarray,
+    beta,
+    interpret: bool = False,
+):
+    """(p', A p', <p', A p'>) with p' = z + beta p, in one fused kernel.
+
+    Returns ``(p_new, ap, pap)``.  ``z`` and ``p`` are DONATED (aliased to
+    ap and p_new respectively) — callers must not reuse them afterwards.
+    The first CG iteration passes beta=0 with any same-shape ``p``.
+    """
+    ny, nx = z.shape
+    t = _pick_tile(nx, z.dtype, bufs=8)
+    if ny < t + 2:
+        t = max(8, ((ny - 2) // 8) * 8)
+        if t < 8 or ny < t + 2:
+            raise ValueError("grid too small for fused CG step")
+    g = pl.cdiv(ny, t)
+    if g < 2:
+        raise ValueError("grid too small for fused CG step")
+
+    z_top, z_bot = _halo_windows(z, t, g, 1)
+    p_top, p_bot = _halo_windows(p, t, g, 1)
+    t2 = t + 2
+    cols = jnp.concatenate(
+        [c.reshape(1, -1)
+         for c in _coeff_cols(st, ny, _compute_dtype(z.dtype))], axis=0
+    )  # (5, ny)
+    import numpy as np
+
+    idx = jnp.asarray(np.clip(
+        (np.arange(g) * t - 1)[:, None] + np.arange(t2)[None, :], 0, ny - 1
+    ))
+    c_slabs = cols[:, idx].transpose(1, 0, 2)[..., None]  # (g, 5, t2, 1)
+    cdt = _compute_dtype(z.dtype)
+    beta_arr = jnp.full((1, 1), beta, cdt)
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, 1, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dot_spec = pl.BlockSpec((g, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    with _x64_scope(z.dtype):
+        pn, ap, dots = pl.pallas_call(
+            _make_cg_papply_kernel(ny, t, g),
+            grid=(g,),
+            in_specs=[coeff, smem1, mid, halo, halo, mid, halo, halo],
+            out_specs=[mid, mid, dot_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny, nx), z.dtype),
+                jax.ShapeDtypeStruct((ny, nx), z.dtype),
+                jax.ShapeDtypeStruct((g, 1), cdt),
+            ],
+            # p (arg 5) -> p' (out 0); z (arg 2) -> ap (out 1): both dead
+            # after this kernel in the CG loop, and both outputs are
+            # while-loop-carried — donation elides the backedge copies.
+            input_output_aliases={5: 0, 2: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(c_slabs, beta_arr, z, z_top, z_bot, p, p_top, p_bot)
+    return pn, ap, jnp.sum(dots)

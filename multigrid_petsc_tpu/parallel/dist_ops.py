@@ -132,8 +132,12 @@ class DistLevelOps:
         fn, cs = self._fn(self.steps_fn(sweeps), "u", False)
         return fn(cs, u, b)
 
-    def visit_down(self, b: jnp.ndarray, u: jnp.ndarray, sweeps: int):
-        """smooth -> restricted residual: (u', R(b - A u'))."""
+    def visit_down(self, b: jnp.ndarray, u: jnp.ndarray | None, sweeps: int):
+        """smooth -> restricted residual: (u', R(b - A u')).  ``u=None``
+        means zero initial guess (preconditioner applications / down-leg
+        below the finest)."""
+        if u is None:
+            u = jnp.zeros_like(b)
         fn, cs = self._fn(self.steps_fn(sweeps), "rc", False)
         return fn(cs, u, b)
 

@@ -75,6 +75,13 @@ class LevelCtx:
     # they compose smooth/residual/transfer ops (identical numerics).
     visit_down: Callable = None
     visit_up: Callable = None
+    # CG fast-path kernels (fused Pallas levels only, else None):
+    #   visit_up_dot(b, u, e_coarse, sweeps) -> (u'', <b, u''>) — the
+    #       preconditioner inner product <r, M r> emitted for free;
+    #   papply(z, p, beta) -> (p', A p', <p', A p'>) with p' = z + beta p
+    #       (z and p are donated — see ops.pallas.cg_papply_pallas).
+    visit_up_dot: Callable | None = None
+    papply: Callable | None = None
 
     @property
     def padded_shapes(self) -> list[tuple[int, int]]:
@@ -571,7 +578,9 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
 
     if lc.dist is not None:
         def visit_down(b, u, sweeps, _lc=lc):
-            u0, rc1 = _lc.dist.visit_down(b[0], u[0], sweeps)
+            u0, rc1 = _lc.dist.visit_down(
+                b[0], None if u is None else u[0], sweeps
+            )
             return (u0,), rc1
 
         def visit_up(b, u, e_c, sweeps, emit_r=False, _lc=lc):
@@ -610,8 +619,10 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         st = lc.stencils[0]
 
         def visit_down(b, u, sweeps, _st=st, _steps=steps_fn):
+            # u=None -> zero-guess kernel (no u input/halos materialized).
             u0, rc1 = fused_level_visit_pallas(
-                _st, b[0], u[0], _steps(sweeps), emit="rc"
+                _st, b[0], None if u is None else u[0], _steps(sweeps),
+                emit="rc",
             )
             return (u0,), rc1
 
@@ -624,11 +635,33 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
                 return (out[0],), (out[1],)
             return (out,)
 
+        # CG fast-path closures (solvers/krylov.solve_mgcg): the final
+        # up-visit also emits <b, u''> (= <r, M r>), and the CG direction
+        # step runs as one fused kernel.
+        from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+            cg_papply_pallas,
+        )
+
+        def visit_up_dot(b, u, e_c, sweeps, _st=st, _steps=steps_fn):
+            z, dot = fused_level_visit_pallas(
+                _st, b[0], u[0], _steps(sweeps), emit="u", e_coarse=e_c,
+                emit_dot=True,
+            )
+            return (z,), dot
+
+        def papply(z, p, beta, _st=st):
+            return cg_papply_pallas(_st, z, p, beta)
+
+        lc.visit_up_dot = visit_up_dot
+        lc.papply = papply
+
         return visit_down, visit_up
 
     from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
 
     def visit_down(b, u, sweeps, _lc=lc):
+        if u is None:
+            u = _lc.zeros(b[0].dtype)
         u = _lc.smooth(b, u, sweeps)
         r = _lc.residual(b, u)
         return u, restrict_fw(r[0])

@@ -55,6 +55,9 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     b = ctx.b0 if b0 is None else b0
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
+    if lvl0.papply is not None and ctx.precond_ctx is None:
+        return _solve_mgcg_fused(ctx, b)
+
     precond = _mg_precond(ctx, v0, v1)
     # A reduced-precision preconditioner is only approximately symmetric/
     # constant; plain PCG's Fletcher-Reeves beta loses conjugacy there
@@ -96,6 +99,69 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
 
     u, r, r_prev, p, rz, iters, rn, hist = jax.lax.while_loop(
         cond, body, (u, r, r, p, rz, 0, rn0, hist)
+    )
+    return OuterResult(
+        u=u,
+        rnorm_history=hist / hist[0],
+        iters=iters,
+        converged=rn <= cfg.rtol * bnorm,
+    )
+
+
+def _solve_mgcg_fused(ctx: MGContext, b: State) -> OuterResult:
+    """PCG over the fused CG kernels (single-grid Pallas level 0 only,
+    plain fixed preconditioner): algebraically identical to solve_mgcg,
+    with the fine-grid HBM traffic cut roughly in half —
+
+      * the direction step p' = z + beta p, the operator apply A p', and
+        the curvature product <p', A p'> run as ONE kernel with both big
+        inputs donated (ops.pallas.cg_papply_pallas);
+      * the preconditioner inner product <r, z> is emitted by the V-cycle's
+        final fused up-visit (vcycle.mg_apply_dot) instead of a separate
+        2-pass reduction;
+      * every preconditioner V-cycle runs zero-guess kernels (no zeros
+        materialization or reads).
+
+    Differences from the generic path are reduction ORDER only (per-block
+    partial sums); the iterates match to f32 roundoff.
+    """
+    from multigrid_petsc_tpu.solvers.vcycle import mg_apply_dot
+
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    max_iter, hist_len = cfg.max_iter, cfg.hist_len
+
+    bnorm = tree_norm2(b)
+    rn0 = bnorm  # u0 = 0 -> r0 = b exactly
+    r = b
+    z, rz = mg_apply_dot(ctx, r, v0, v1)
+    u = lvl0.zeros(ctx.dtype)
+    p = lvl0.zeros(ctx.dtype)  # papply with beta=0 ignores its value
+    beta0 = jnp.asarray(0.0, rz.dtype)
+    hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
+
+    def cond(c):
+        u, r, z, p, rz, beta, i, rn, hist = c
+        return ((i < max_iter) & (cfg.divtol * bnorm > rn)
+                & (rn > cfg.rtol * bnorm))
+
+    def body(c):
+        u, r, z, p, rz, beta, i, rn, hist = c
+        # z and p are donated into (ap, p_new) — dead afterwards.
+        p0, ap, pap = lvl0.papply(z[0], p[0], beta)
+        p = (p0,)
+        alpha = rz / pap
+        u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
+        r = tuple(rk - alpha * ak for rk, ak in zip(r, (ap,)))
+        rn = tree_norm2(r)
+        z, rz_new = mg_apply_dot(ctx, r, v0, v1)
+        beta = rz_new / rz
+        hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
+        return (u, r, z, p, rz_new, beta, i + 1, rn, hist)
+
+    u, r, z, p, rz, beta, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, z, p, rz, beta0, 0, rn0, hist)
     )
     return OuterResult(
         u=u,

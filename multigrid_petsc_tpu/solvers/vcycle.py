@@ -23,7 +23,7 @@ from multigrid_petsc_tpu.solvers.outer import OuterResult, outer_iterate
 
 
 def v_cycle(
-    ctx: MGContext, b0: State, u0: State, v0: int, v1: int,
+    ctx: MGContext, b0: State, u0: State | None, v0: int, v1: int,
     emit_r: bool = False,
 ):
     """One V-cycle starting/ending on level 0.
@@ -36,33 +36,58 @@ def v_cycle(
     Pallas-eligible levels those are single fused kernels folding
     residual + first restriction gap (down) and last prolongation gap +
     correction (up) into the smoother's read of (u, b).
+
+    ``u0=None`` means zero initial guess (every preconditioner
+    application, and every down-leg level below the finest): the fused
+    kernels then skip materializing + reading the zeros array entirely.
     """
+    return _cycle(ctx, 0, b0, u0, v0, v1, emit_r)
+
+
+def _cycle(ctx, l: int, b: State, u: State | None, v0: int, v1: int,
+           emit: bool):
+    """The V-cycle recursion from level ``l`` down (shared by v_cycle and
+    mg_apply_dot)."""
     L = len(ctx.levels)
-    dtype = b0[0].dtype
-
-    def cycle(l: int, b: State, u: State, emit: bool):
-        lvl = ctx.levels[l]
-        if l == L - 1:
-            if L > 1 and lvl.coarse_solve is not None:
-                u = lvl.constrain(lvl.coarse_solve(b))
-            else:
-                u = lvl.smooth(b, u, v1 if L > 1 else v0)
-            return (u, lvl.residual(b, u)) if emit else u
-        u, rc1 = lvl.visit_down(b, u, v0)
-        b_next = ctx.restrict_rc1(l, rc1)
-        u_next = cycle(l + 1, b_next, ctx.levels[l + 1].zeros(dtype), False)
-        e_c = ctx.prolong_half(l, u_next)
-        return lvl.visit_up(b, u, e_c, v0, emit)
-
-    return cycle(0, b0, u0, emit_r)
+    lvl = ctx.levels[l]
+    if l == L - 1:
+        if L > 1 and lvl.coarse_solve is not None:
+            u = lvl.constrain(lvl.coarse_solve(b))
+        else:
+            if u is None:
+                u = lvl.zeros(b[0].dtype)
+            u = lvl.smooth(b, u, v1 if L > 1 else v0)
+        return (u, lvl.residual(b, u)) if emit else u
+    u, rc1 = lvl.visit_down(b, u, v0)
+    b_next = ctx.restrict_rc1(l, rc1)
+    u_next = _cycle(ctx, l + 1, b_next, None, v0, v1, False)
+    e_c = ctx.prolong_half(l, u_next)
+    return lvl.visit_up(b, u, e_c, v0, emit)
 
 
 def mg_apply(ctx: MGContext, r: State, v0: int, v1: int) -> State:
     """M r: one V-cycle with zero initial guess — the linear MG
     preconditioner used by the Krylov outer loops and the PCMG-equivalent
     Richardson driver."""
-    z0 = ctx.levels[0].zeros(r[0].dtype)
-    return v_cycle(ctx, r, z0, v0, v1)
+    return v_cycle(ctx, r, None, v0, v1)
+
+
+def mg_apply_dot(ctx: MGContext, r: State, v0: int, v1: int):
+    """(M r, <r, M r>): the preconditioner application with its CG inner
+    product emitted by the level-0 fused up-visit kernel (free — the
+    kernel already holds b = r and the final u = M r in VMEM).  Falls
+    back to mg_apply + tree_dot when the fused path is unavailable."""
+    from multigrid_petsc_tpu.ops.norms import tree_dot
+
+    lvl0 = ctx.levels[0]
+    if len(ctx.levels) == 1 or lvl0.visit_up_dot is None:
+        z = mg_apply(ctx, r, v0, v1)
+        return z, tree_dot(r, z)
+    u, rc1 = lvl0.visit_down(r, None, v0)
+    b_next = ctx.restrict_rc1(0, rc1)
+    u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
+    e_c = ctx.prolong_half(0, u_next)
+    return lvl0.visit_up_dot(r, u, e_c, v0)
 
 
 def solve_vcycle(ctx: MGContext, b0: State | None = None) -> OuterResult:

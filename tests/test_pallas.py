@@ -294,3 +294,129 @@ def test_smooth9_too_small_raises():
 
     with pytest.raises(ValueError):
         smooth9_sweeps_pallas(st, u, u, ((0.8, 0.0),) * 3, interpret=True)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (127, 63), (257, 129)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+def test_visit_down_zero_guess_matches(shape, sweeps):
+    """u=None: the zero-initial-guess down visit (no u input at all) must
+    equal the explicit-zeros visit bit-for-bit."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        fused_level_visit_pallas,
+        jacobi_step_coeffs,
+    )
+
+    ny, nx = shape
+    st = stencil_coefficients(MeshType.NONUNIFORM2, ny, nx)
+    rng = np.random.default_rng(ny + sweeps)
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    steps = jacobi_step_coeffs(sweeps, 0.8)
+    u0 = jnp.zeros((ny, nx), b.dtype)
+    u_ref, rc_ref = fused_level_visit_pallas(st, b, u0, steps, emit="rc",
+                                             interpret=True)
+    u_got, rc_got = fused_level_visit_pallas(st, b, None, steps, emit="rc",
+                                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(u_got), np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(rc_got), np.asarray(rc_ref))
+
+
+def test_cg_papply_matches():
+    """(p', A p', <p', A p'>) fused CG direction step vs jnp composition."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        cg_papply_pallas,
+    )
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+
+    ny, nx = 127, 63
+    st = stencil_coefficients(MeshType.NONUNIFORM1, ny, nx)
+    rng = np.random.default_rng(7)
+    z = jnp.asarray(rng.standard_normal((ny, nx)))
+    p = jnp.asarray(rng.standard_normal((ny, nx)))
+    for beta in (0.0, 0.37):
+        pn_ref = z + beta * p
+        ap_ref = apply_stencil5(st, pn_ref)
+        dot_ref = float(jnp.vdot(pn_ref.ravel(), ap_ref.ravel()))
+        pn, ap, dot = cg_papply_pallas(st, z, p, beta, interpret=True)
+        np.testing.assert_allclose(np.asarray(pn), np.asarray(pn_ref),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ap_ref),
+                                   rtol=1e-12, atol=1e-10)
+        assert abs(float(dot) - dot_ref) <= 1e-9 * abs(dot_ref)
+
+
+def test_visit_up_emit_dot_matches():
+    """emit_dot: the up-visit's <b, u''> equals the separate inner product."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        fused_level_visit_pallas,
+        jacobi_step_coeffs,
+    )
+
+    ny, nx = 127, 63
+    st = stencil_coefficients(MeshType.UNIFORM, ny, nx)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    steps = jacobi_step_coeffs(3, 0.8)
+    # Fresh copies per call: the visit kernels DONATE u (io-aliasing).
+    u_ref = fused_level_visit_pallas(st, b, jnp.array(u, copy=True), steps,
+                                     emit="u", e_coarse=e, interpret=True)
+    u_got, dot = fused_level_visit_pallas(st, b, jnp.array(u, copy=True),
+                                          steps, emit="u", e_coarse=e,
+                                          emit_dot=True, interpret=True)
+    # The extra in-kernel reduction may reassociate the last bit of the
+    # u computation under the interpreter — compare to f64 roundoff.
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-13, atol=1e-14)
+    dot_ref = float(jnp.vdot(b.ravel(), u_ref.ravel()))
+    assert abs(float(dot) - dot_ref) <= 1e-9 * abs(dot_ref)
+
+
+def test_mgcg_fused_path_matches_generic():
+    """The fused-CG fast path (papply + visit_up_dot wired onto a CPU
+    context via interpret-mode kernels) reproduces the generic PCG
+    iterate-for-iterate to f32 roundoff."""
+    import functools
+
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        cg_papply_pallas,
+        fused_level_visit_pallas,
+        jacobi_step_coeffs,
+    )
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.solvers.krylov import solve_mgcg
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    cfg = SolverConfig(npts=129, grids=4, levels=4, cycle=CycleType.MGCG,
+                       dtype="float64", rtol=1e-8)
+    ctx = build_context(cfg)
+    ref = solve_mgcg(ctx)
+    assert ctx.levels[0].papply is None  # CPU: generic path ran
+
+    st0 = ctx.levels[0].stencils[0]
+    steps_fn = lambda s: jacobi_step_coeffs(s, cfg.omega)
+
+    def visit_down(b, u, sweeps):
+        u0, rc1 = fused_level_visit_pallas(
+            st0, b[0], None if u is None else u[0], steps_fn(sweeps),
+            emit="rc", interpret=True)
+        return (u0,), rc1
+
+    def visit_up_dot(b, u, e_c, sweeps):
+        z, dot = fused_level_visit_pallas(
+            st0, b[0], u[0], steps_fn(sweeps), emit="u", e_coarse=e_c,
+            emit_dot=True, interpret=True)
+        return (z,), dot
+
+    ctx.levels[0].visit_down = visit_down
+    ctx.levels[0].visit_up_dot = visit_up_dot
+    ctx.levels[0].papply = functools.partial(
+        cg_papply_pallas, st0, interpret=True)
+    got = solve_mgcg(ctx)
+
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.u[0]), np.asarray(ref.u[0]),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.rnorm_history),
+                               np.asarray(ref.rnorm_history),
+                               rtol=1e-8, atol=1e-12)

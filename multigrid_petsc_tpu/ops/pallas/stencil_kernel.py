@@ -512,13 +512,22 @@ def prolong_x_bilinear(e: jnp.ndarray) -> jnp.ndarray:
 
 def _gather_rows(x: jnp.ndarray, g: int, stride: int, lo: int, rows: int):
     """(g, rows, nx): window i holds x[i*stride + lo : i*stride + lo + rows]
-    with zeros outside [0, x.shape[0]) (eliminated Dirichlet / block pad)."""
-    import numpy as np
+    with zeros outside [0, x.shape[0]) (eliminated Dirichlet / block pad).
 
+    Built from ``rows`` strided slices (one per window row, like
+    ``_halo_windows``) — integer-array indexing here lowers to an XLA
+    Gather, which measured several times slower than the strided form on
+    the up-visit's coarse-correction halos."""
     n = x.shape[0]
-    idx = np.arange(g)[:, None] * stride + lo + np.arange(rows)[None, :]
-    valid = jnp.asarray((idx >= 0) & (idx < n), x.dtype)[..., None]
-    return x[jnp.asarray(np.clip(idx, 0, n - 1))] * valid
+    out = jnp.zeros((g, rows, x.shape[1]), x.dtype)
+    for j in range(rows):
+        start = lo + j
+        i0 = (-start + stride - 1) // stride if start < 0 else 0
+        src = x[start + i0 * stride :: stride]
+        m = min(src.shape[0], g - i0)
+        if m > 0:
+            out = out.at[i0 : i0 + m, j].set(src[:m])
+    return out
 
 
 def _prolong_x_vmem(e_loc: jnp.ndarray) -> jnp.ndarray:
@@ -841,6 +850,151 @@ def residual5_pallas(
     (emit="r" skips materializing the untouched u)."""
     return fused_level_visit_pallas(st, b, u, steps=(), emit="r",
                                     interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Fused CG residual update + zero-guess down visit:
+#   r' = r - alpha ap;  ||r'||^2;  u0 = smooth_k(b=r', 0);  R_y(r' - A u0)
+# in ONE kernel.  Composed separately these cost read r, ap, write r'
+# (3 passes) + a separate norm + the down visit's read of r' (1); fused,
+# the kernel reads (r, ap) and writes (r', u0, y-restricted residual)
+# with the norm riding as SMEM partials — one fewer full pass and a free
+# norm, and both CG vectors (r, ap) are donated (r -> r', ap -> u0), so
+# neither loop-carried buffer pays a backedge copy.
+# --------------------------------------------------------------------------
+
+
+def _make_cg_down_kernel(ny, nx, t, k, g, h, steps):
+    t2 = t + 2 * h
+
+    def kernel(c_ref, alpha_ref, r_ref, rt_ref, rb_ref,
+               ap_ref, apt_ref, apb_ref, u_ref, rc_ref, rn_ref, nrm_ref):
+        i = pl.program_id(0).astype(jnp.int32)
+        alpha = alpha_ref[0, 0]
+        r = jnp.concatenate(
+            [_load_f32(rt_ref)[0], _load_f32(r_ref), _load_f32(rb_ref)[0]],
+            axis=0)
+        ap = jnp.concatenate(
+            [_load_f32(apt_ref)[0], _load_f32(ap_ref),
+             _load_f32(apb_ref)[0]], axis=0)
+        grow = (i * jnp.int32(t) - jnp.int32(h)
+                + jax.lax.broadcasted_iota(jnp.int32, r.shape, 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        b = jnp.where(inside, r - alpha * ap, 0.0)
+
+        cs = c_ref[0, 0]
+        cw = c_ref[0, 1]
+        cc = c_ref[0, 2]
+        ce = c_ref[0, 3]
+        cn = c_ref[0, 4]
+        dinv = 1.0 / cc
+
+        def apply_a(v):
+            south = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+            north = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+            return (cc * v + cs * south + cn * north
+                    + cw * _shift_w(v) + ce * _shift_e(v))
+
+        u = jnp.zeros_like(b)
+        p = jnp.zeros_like(b)
+        first = True
+        for (alpha_s, beta_s) in steps:
+            z = dinv * b if first else dinv * (b - apply_a(u))
+            first = False
+            p = beta_s * p + alpha_s * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        _store(u_ref, u[h : h + t])
+        b_mid = b[h : h + t]
+        _store(rn_ref, b_mid)
+        nrm_ref[i, 0] = jnp.sum(b_mid * b_mid)
+        rr = b - apply_a(u)
+        v = rr[h : h + t].reshape(t // 2, 2, rr.shape[-1])
+        ev, od = v[:, 0], v[:, 1]
+        ev_next = jnp.concatenate([ev[1:], rr[h + t : h + t + 1]], axis=0)
+        _store(rc_ref, ev + 2.0 * od + ev_next)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "interpret"))
+def cg_visit_down_pallas(
+    st: Stencil5,
+    r: jnp.ndarray,
+    ap: jnp.ndarray,
+    alpha,
+    steps: tuple,
+    interpret: bool = False,
+):
+    """(u0, rc1, r', ||r'||^2) with r' = r - alpha ap and (u0, rc1) the
+    zero-guess down visit on b = r'.  ``r`` and ``ap`` are DONATED
+    (aliased to r' and u0)."""
+    ny, nx = r.shape
+    k = len(steps)
+    h = k + 2  # residual + y-restriction on top of the smoothing carry
+    if ny % 2 == 0 or nx % 2 == 0:
+        raise ValueError("transfers need odd (2n+1) grid dims")
+    t = _pick_tile(nx, r.dtype, bufs=12, cap=256)
+    if ny < t + 2 * h:
+        t = max(16, ((ny - 2 * h) // 16) * 16)
+        if ny < t + 2 * h:
+            raise ValueError("grid too small for fused CG down visit")
+    g = pl.cdiv(ny, t)
+    if g < 2:
+        raise ValueError("grid too small for fused CG down visit")
+    t2 = t + 2 * h
+    nyc = (ny - 1) // 2
+
+    r_top, r_bot = _halo_windows(r, t, g, h)
+    ap_top, ap_bot = _halo_windows(ap, t, g, h)
+    cols = jnp.concatenate(
+        [c.reshape(1, -1)
+         for c in _coeff_cols(st, ny, _compute_dtype(r.dtype))], axis=0
+    )
+    import numpy as np
+
+    idx = jnp.asarray(np.clip(
+        (np.arange(g) * t - h)[:, None] + np.arange(t2)[None, :], 0, ny - 1
+    ))
+    c_slabs = cols[:, idx].transpose(1, 0, 2)[..., None]
+    cdt = _compute_dtype(r.dtype)
+    alpha_arr = jnp.full((1, 1), alpha, cdt)
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, h, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    nrm_spec = pl.BlockSpec((g, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    with _x64_scope(r.dtype):
+        u0, rc_y, r_new, nrm = pl.pallas_call(
+            _make_cg_down_kernel(ny, nx, t, k, g, h, steps),
+            grid=(g,),
+            in_specs=[coeff, smem1, mid, halo, halo, mid, halo, halo],
+            out_specs=[
+                mid,
+                pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                mid,
+                nrm_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny, nx), r.dtype),
+                jax.ShapeDtypeStruct((nyc, nx), r.dtype),
+                jax.ShapeDtypeStruct((ny, nx), r.dtype),
+                jax.ShapeDtypeStruct((g, 1), cdt),
+            ],
+            # ap (arg 5) -> u0 (out 0); r (arg 2) -> r' (out 2).
+            input_output_aliases={5: 0, 2: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(c_slabs, alpha_arr, r, r_top, r_bot, ap, ap_top, ap_bot)
+    return u0, restrict_x_fw(rc_y), r_new, jnp.sum(nrm)
 
 
 # --------------------------------------------------------------------------

@@ -79,9 +79,13 @@ class LevelCtx:
     #   visit_up_dot(b, u, e_coarse, sweeps) -> (u'', <b, u''>) — the
     #       preconditioner inner product <r, M r> emitted for free;
     #   papply(z, p, beta) -> (p', A p', <p', A p'>) with p' = z + beta p
-    #       (z and p are donated — see ops.pallas.cg_papply_pallas).
+    #       (z and p are donated — see ops.pallas.cg_papply_pallas);
+    #   cg_visit_down(r, ap, alpha, sweeps) ->
+    #       (u0, rc1, r' = r - alpha ap, ||r'||^2) — the CG residual
+    #       update folded into the zero-guess down visit (r, ap donated).
     visit_up_dot: Callable | None = None
     papply: Callable | None = None
+    cg_visit_down: Callable | None = None
 
     @property
     def padded_shapes(self) -> list[tuple[int, int]]:
@@ -626,10 +630,19 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
             )
             return (u0,), rc1
 
+        from multigrid_petsc_tpu.ops.transfer import prolong_bilinear
+
+        # Up-visit split: the coarse correction u += P e runs as ONE fused
+        # XLA pass (strided interleaves are cheap in XLA), the smoother as
+        # the fused kernel with the corrected u donated.  The all-in-kernel
+        # variant (e_coarse=...) moves ~1 fewer pass but its in-VMEM
+        # y-interleave measured ~3 ms/visit at 8191^2 on v5e — over 2x the
+        # cost of the extra XLA read+write (probe_kernel_rates.py).
         def visit_up(b, u, e_c, sweeps, emit_r=False, _st=st, _steps=steps_fn):
+            u0 = u[0] + prolong_bilinear(e_c)
             out = fused_level_visit_pallas(
-                _st, b[0], u[0], _steps(sweeps),
-                emit="ur" if emit_r else "u", e_coarse=e_c,
+                _st, b[0], u0, _steps(sweeps),
+                emit="ur" if emit_r else "u",
             )
             if emit_r:
                 return (out[0],), (out[1],)
@@ -640,20 +653,25 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         # step runs as one fused kernel.
         from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
             cg_papply_pallas,
+            cg_visit_down_pallas,
         )
 
         def visit_up_dot(b, u, e_c, sweeps, _st=st, _steps=steps_fn):
+            u0 = u[0] + prolong_bilinear(e_c)
             z, dot = fused_level_visit_pallas(
-                _st, b[0], u[0], _steps(sweeps), emit="u", e_coarse=e_c,
-                emit_dot=True,
+                _st, b[0], u0, _steps(sweeps), emit="u", emit_dot=True,
             )
             return (z,), dot
 
         def papply(z, p, beta, _st=st):
             return cg_papply_pallas(_st, z, p, beta)
 
+        def cg_visit_down(r, ap, alpha, sweeps, _st=st, _steps=steps_fn):
+            return cg_visit_down_pallas(_st, r, ap, alpha, _steps(sweeps))
+
         lc.visit_up_dot = visit_up_dot
         lc.papply = papply
+        lc.cg_visit_down = cg_visit_down
 
         return visit_down, visit_up
 

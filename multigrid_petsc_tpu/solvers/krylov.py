@@ -125,7 +125,7 @@ def _solve_mgcg_fused(ctx: MGContext, b: State) -> OuterResult:
     Differences from the generic path are reduction ORDER only (per-block
     partial sums); the iterates match to f32 roundoff.
     """
-    from multigrid_petsc_tpu.solvers.vcycle import mg_apply_dot
+    from multigrid_petsc_tpu.solvers.vcycle import mg_apply_cgdown, mg_apply_dot
 
     cfg = ctx.config
     v0, v1 = cfg.v
@@ -153,9 +153,13 @@ def _solve_mgcg_fused(ctx: MGContext, b: State) -> OuterResult:
         p = (p0,)
         alpha = rz / pap
         u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
-        r = tuple(rk - alpha * ak for rk, ak in zip(r, (ap,)))
-        rn = tree_norm2(r)
-        z, rz_new = mg_apply_dot(ctx, r, v0, v1)
+        # r' = r - alpha ap folded into the preconditioner's down visit
+        # (r and ap donated; ||r'|| and <r', z> emitted by the kernels).
+        z, rz_new, r_new, rn2 = mg_apply_cgdown(
+            ctx, r[0], ap, alpha, v0, v1
+        )
+        r = (r_new,)
+        rn = jnp.sqrt(rn2)
         beta = rz_new / rz
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, r, z, p, rz_new, beta, i + 1, rn, hist)

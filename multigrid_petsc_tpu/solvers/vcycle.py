@@ -90,6 +90,24 @@ def mg_apply_dot(ctx: MGContext, r: State, v0: int, v1: int):
     return lvl0.visit_up_dot(r, u, e_c, v0)
 
 
+def mg_apply_cgdown(ctx: MGContext, r, ap, alpha, v0: int, v1: int):
+    """One fused-CG preconditioner application folding the CG residual
+    update into the level-0 down visit:
+
+        r' = r - alpha ap;  z = M r';  returns (z, <r', z>, r', ||r'||^2)
+
+    r and ap are donated (see ops.pallas.cg_visit_down_pallas); the two
+    inner products ride the kernels for free.  Only called on contexts
+    whose level 0 has the fused CG kernels."""
+    lvl0 = ctx.levels[0]
+    u0, rc1, r_new, rn2 = lvl0.cg_visit_down(r, ap, alpha, v0)
+    b_next = ctx.restrict_rc1(0, rc1)
+    u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
+    e_c = ctx.prolong_half(0, u_next)
+    z, rz = lvl0.visit_up_dot((r_new,), (u0,), e_c, v0)
+    return z, rz, r_new, rn2
+
+
 def solve_vcycle(ctx: MGContext, b0: State | None = None) -> OuterResult:
     cfg = ctx.config
     v0, v1 = cfg.v

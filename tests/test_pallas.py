@@ -380,6 +380,7 @@ def test_mgcg_fused_path_matches_generic():
 
     from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
         cg_papply_pallas,
+        cg_visit_down_pallas,
         fused_level_visit_pallas,
         jacobi_step_coeffs,
     )
@@ -408,10 +409,15 @@ def test_mgcg_fused_path_matches_generic():
             emit_dot=True, interpret=True)
         return (z,), dot
 
+    def cg_visit_down(r, ap, alpha, sweeps):
+        return cg_visit_down_pallas(st0, r, ap, alpha, steps_fn(sweeps),
+                                    interpret=True)
+
     ctx.levels[0].visit_down = visit_down
     ctx.levels[0].visit_up_dot = visit_up_dot
     ctx.levels[0].papply = functools.partial(
         cg_papply_pallas, st0, interpret=True)
+    ctx.levels[0].cg_visit_down = cg_visit_down
     got = solve_mgcg(ctx)
 
     assert int(got.iters) == int(ref.iters)

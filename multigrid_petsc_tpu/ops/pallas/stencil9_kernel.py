@@ -317,3 +317,221 @@ def smooth9_sweeps_pallas(
             ),
             interpret=interpret,
         )(*carrs, u, u_top, u_bot, b, b_top, b_bot)
+
+
+# --------------------------------------------------------------------------
+# Fused 9-point V-cycle level visits: [u += P e] -> k smoothing steps ->
+# [residual | y-restricted residual], one read of (u, b, coeffs) per visit
+# — the 9-point counterpart of stencil_kernel._make_vcycle_kernel, so the
+# anisotropic family (BASELINE config 4) runs the same fused fast path as
+# 5-point Poisson instead of the unfused smooth/residual/transfer
+# composition (reference treats every operator identically through
+# assembled MatMult, src/solver.c:489-556).  Transfer split is identical:
+# y-halves in-kernel (sublane interleaves), x-halves as XLA strided passes
+# over half-height intermediates (restrict_x_fw / prolong_x_bilinear).
+# --------------------------------------------------------------------------
+
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (  # noqa: E402
+    _gather_rows,
+    prolong_x_bilinear,
+    restrict_x_fw,
+)
+
+
+def _make_vcycle9_kernel(ny, nx, t, k, g, h, kinds, steps, emit, correct,
+                         zero_guess=False, emit_dot=False):
+    """Fused 9-point level-visit kernel body (see stencil_kernel.
+    _make_vcycle_kernel for the emit/zero_guess/correct semantics)."""
+    t2 = t + 2 * h
+    th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
+    nyc = (ny - 1) // 2
+    ncr = _n_coeff_refs(kinds, h)
+
+    def kernel(*refs):
+        crefs, rest = refs[:ncr], refs[ncr:]
+        if correct:
+            (u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
+             em_ref, et_ref, eb_ref, *outs) = rest
+        elif zero_guess:
+            b_ref, bt_ref, bb_ref, *outs = rest
+        else:
+            u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, *outs = rest
+
+        i = pl.program_id(0).astype(jnp.int32)
+        b = jnp.concatenate([bt_ref[0], b_ref[:], bb_ref[0]], axis=0)
+        if zero_guess:
+            u = jnp.zeros_like(b)
+        else:
+            u = jnp.concatenate([ut_ref[0], u_ref[:], ub_ref[0]], axis=0)
+        grow = (i * jnp.int32(t) - jnp.int32(h)
+                + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        if not zero_guess:
+            u = jnp.where(inside, u, 0.0)
+        b = jnp.where(inside, b, 0.0)
+
+        if correct:
+            # y-half of the bilinear prolongation (x-half pre-applied by
+            # the XLA prolong_x_bilinear pass) — same parity split as the
+            # 5-point kernel.
+            em = em_ref[:]
+            crow = (i * jnp.int32(t // 2)
+                    + jax.lax.broadcasted_iota(jnp.int32, em.shape, 0))
+            em = jnp.where(crow < jnp.int32(nyc), em, 0.0)
+            e_loc = jnp.concatenate([et_ref[0], em, eb_ref[0]], axis=0)
+            prev, cur = e_loc[:-1], e_loc[1:]
+            if h % 2 == 0:
+                pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
+            else:
+                pe = jnp.stack([prev, 0.5 * (prev + cur)], axis=1)
+            pe = pe.reshape(t2, pe.shape[-1])
+            u = jnp.where(inside, u + pe, 0.0)
+
+        coeffs = _unpack_coeffs(crefs, kinds, h)
+        cc = coeffs[4]
+        dinv = 1.0 / jnp.where(cc == 0.0, 1.0, cc)
+
+        def apply_a(v):
+            vp = jnp.concatenate(
+                [jnp.zeros_like(v[:1]), v, jnp.zeros_like(v[:1])], axis=0
+            )
+            return _apply9(coeffs, vp)
+
+        p = jnp.zeros_like(u)
+        first = zero_guess
+        for (alpha, beta) in steps:
+            if first:
+                z = dinv * b  # A u = 0 for the zero initial guess
+                first = False
+            else:
+                z = dinv * (b - apply_a(u))
+            p = beta * p + alpha * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        if emit == "r":
+            outs[0][:] = (b - apply_a(u))[h : h + t]
+            return
+        outs[0][:] = u[h : h + t]
+        if emit_dot:
+            outs[-1][i, 0] = jnp.sum(b[h : h + t] * u[h : h + t])
+        if emit == "ur":
+            outs[1][:] = (b - apply_a(u))[h : h + t]
+        elif emit == "rc":
+            r = b - apply_a(u)
+            v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
+            ev, od = v[:, 0], v[:, 1]
+            ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
+            outs[1][:] = ev + 2.0 * od + ev_next
+
+    return kernel
+
+
+def fused_level_visit9_pallas(
+    st: Stencil9,
+    b: jnp.ndarray,
+    u: jnp.ndarray | None,
+    steps: tuple,
+    emit: str = "u",
+    e_coarse: jnp.ndarray | None = None,
+    emit_dot: bool = False,
+    interpret: bool = False,
+):
+    """One fused 9-point V-cycle level visit (see stencil_kernel.
+    fused_level_visit_pallas — identical contract, Stencil9 operator).
+
+    Raises ValueError when the grid cannot carry the halo; callers fall
+    back to the unfused composition (``fused_visit_viable`` pre-checks).
+    """
+    assert emit in ("u", "ur", "r", "rc")
+    assert not emit_dot or emit == "u", "emit_dot: final-u visits only"
+    zero_guess = u is None
+    ny, nx = b.shape
+    k = len(steps)
+    h = k + (0 if emit == "u" else 1 if emit in ("ur", "r") else 2)
+    correct = e_coarse is not None
+    assert not (zero_guess and correct), "zero-guess visit cannot correct"
+    if emit == "rc" or correct:
+        if ny % 2 == 0 or nx % 2 == 0:
+            raise ValueError("transfers need odd (2n+1) grid dims")
+    t = _pick_tile(nx, b.dtype, bufs=14, cap=256)
+    if ny < t + 2 * h:
+        t = max(16, ((ny - 2 * h) // 16) * 16)
+        if ny < t + 2 * h:
+            raise ValueError("grid too small for fused Pallas level visit")
+    g = pl.cdiv(ny, t)
+    if g < 2:
+        raise ValueError("grid too small for fused Pallas level visit")
+    nyc = (ny - 1) // 2
+
+    kinds, carrs, cspecs = _coeff9_operands(st, ny, nx, b.dtype, g, t, h=h)
+    b_top, b_bot = _halo_windows(b, t, g, h)
+
+    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo = pl.BlockSpec((1, h, nx), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    if zero_guess:
+        in_specs = cspecs + [mid, halo, halo]
+        args = carrs + [b, b_top, b_bot]
+    else:
+        u_top, u_bot = _halo_windows(u, t, g, h)
+        in_specs = cspecs + [mid, halo, halo, mid, halo, halo]
+        args = carrs + [u, u_top, u_bot, b, b_top, b_bot]
+
+    if correct:
+        e_x = prolong_x_bilinear(e_coarse.astype(b.dtype))  # (nyc, nx)
+        th = h // 2 + 1 if h % 2 == 0 else (h + 1) // 2
+        rows = t // 2 + h + 1
+        bh = rows - t // 2 - th
+        e_top = _gather_rows(e_x, g, t // 2, -th, th)
+        e_bot = _gather_rows(e_x, g, t // 2, t // 2, bh)
+        in_specs += [
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, nx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, nx), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [e_x, e_top, e_bot]
+
+    out_specs = [mid]
+    out_shape = [jax.ShapeDtypeStruct((ny, nx), b.dtype)]
+    if emit == "ur":
+        out_specs.append(mid)
+        out_shape.append(jax.ShapeDtypeStruct((ny, nx), b.dtype))
+    elif emit == "rc":
+        out_specs.append(
+            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nyc, nx), b.dtype))
+    if emit_dot:
+        out_specs.append(
+            pl.BlockSpec((g, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((g, 1), b.dtype))
+
+    # u (when present) is dead after the visit: donate it into the u'
+    # output to elide XLA's backedge copy (same as the 5-point kernels).
+    n_c = len(carrs)
+    aliases = {} if (emit == "r" or zero_guess) else {n_c: 0}
+
+    with _x64_scope(b.dtype):
+        out = pl.pallas_call(
+            _make_vcycle9_kernel(ny, nx, t, k, g, h, kinds, steps, emit,
+                                 correct, zero_guess, emit_dot),
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+            out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            ),
+            interpret=interpret,
+        )(*args)
+    if emit == "rc":
+        return out[0], restrict_x_fw(out[1])
+    if emit_dot:
+        return out[0], jnp.sum(out[1])
+    return out

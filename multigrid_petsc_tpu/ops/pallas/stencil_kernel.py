@@ -1013,8 +1013,7 @@ def cg_visit_down_pallas(
 
 
 def _make_cg_papply_kernel(ny, t, g):
-    tl = ny - (g - 1) * t  # valid rows in the ragged last block
-
+    # Ragged last block is handled by the grow/inside mask (no tl needed).
     def kernel(c_ref, beta_ref, z_ref, zt_ref, zb_ref, p_ref, pt_ref, pb_ref,
                pn_ref, ap_ref, dot_ref):
         i = pl.program_id(0).astype(jnp.int32)

@@ -358,7 +358,7 @@ def _use_dist(lc: LevelCtx, cfg: SolverConfig, plan, dtype) -> bool:
         return False
     if plan.spec(g.ny, g.nx)[0] != "y":
         return False  # agglomerated (replicated) level
-    if not dist_viable(g.ny, int(plan.mesh.devices.size), max(cfg.v),
+    if not dist_viable(g.ny, int(plan.mesh.devices.size), cfg.max_sweeps,
                        nx=g.nx):
         return False
     if platform != "tpu":
@@ -426,7 +426,7 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
     # at trace time (the smoothers' documented ValueError condition).
     def _pallas_smoother_ok():
         return _use_pallas(ctx, cfg) and fused_visit_viable(
-            ctx.spec.primary.ny, max(cfg.v), "u"
+            ctx.spec.primary.ny, cfg.max_sweeps, "u"
         )
 
     if ctx.spec.is_composite and cfg.composite_smoother == "block_gs":
@@ -595,15 +595,18 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
 
         return visit_down, visit_up
 
+    from multigrid_petsc_tpu.ops.stencil import Stencil9
+
     steps_fn = None
-    # Fused visits (smooth+residual+transfer in one kernel) exist for the
-    # 5-point family only; 9-point levels compose the (still-Pallas)
-    # smooth/apply kernels with jnp transfers below.  The viability
+    # Fused visits (smooth+residual+transfer in one kernel) for BOTH
+    # stencil families (5-point via stencil_kernel, 9-point/aniso via
+    # stencil9_kernel — reference treats every operator identically
+    # through assembled MatMult, src/solver.c:489-556).  The viability
     # pre-check covers the halo-carry ValueError the kernels would raise at
     # trace time for very large sweep counts (ny < 16 + 2h).
+    is9 = isinstance(lc.stencils[0], Stencil9)
     if (lc.use_pallas_apply and not lc.spec.is_composite
-            and isinstance(lc.stencils[0], Stencil5)
-            and fused_visit_viable(lc.spec.primary.ny, max(cfg.v), "rc")):
+            and fused_visit_viable(lc.spec.primary.ny, cfg.max_sweeps, "rc")):
         from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
             chebyshev_step_coeffs,
             jacobi_step_coeffs,
@@ -614,6 +617,48 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         elif cfg.smoother == SmootherType.CHEBYSHEV:
             lmax = lc.lmax
             steps_fn = lambda s: chebyshev_step_coeffs(s, lmax)
+
+    if steps_fn is not None and is9:
+        from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+            fused_level_visit9_pallas,
+        )
+        from multigrid_petsc_tpu.ops.transfer import prolong_bilinear
+
+        st9 = lc.stencils[0]
+
+        def visit_down9(b, u, sweeps, _st=st9, _steps=steps_fn):
+            u0, rc1 = fused_level_visit9_pallas(
+                _st, b[0], None if u is None else u[0], _steps(sweeps),
+                emit="rc",
+            )
+            return (u0,), rc1
+
+        # Up-visit split: coarse correction as one fused XLA pass, the
+        # smoother as the fused kernel (same trade as the 5-pt path; see
+        # the visit_up note below).
+        def visit_up9(b, u, e_c, sweeps, emit_r=False, _st=st9,
+                      _steps=steps_fn):
+            u0 = u[0] + prolong_bilinear(e_c)
+            out = fused_level_visit9_pallas(
+                _st, b[0], u0, _steps(sweeps),
+                emit="ur" if emit_r else "u",
+            )
+            if emit_r:
+                return (out[0],), (out[1],)
+            return (out,)
+
+        def visit_up_dot9(b, u, e_c, sweeps, _st=st9, _steps=steps_fn):
+            u0 = u[0] + prolong_bilinear(e_c)
+            z, dot = fused_level_visit9_pallas(
+                _st, b[0], u0, _steps(sweeps), emit="u", emit_dot=True,
+            )
+            return (z,), dot
+
+        lc.visit_up_dot = visit_up_dot9
+        # papply/cg_visit_down stay None: the CG direction/update kernels
+        # are 5-point-only; the aniso family runs the generic PCG outer
+        # over these fused visits.
+        return visit_down9, visit_up9
 
     if steps_fn is not None:
         from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
@@ -741,8 +786,15 @@ def build_context(
                              "unsupported; use grids == levels")
         aniso_prob = AnisoProblem(*cfg.aniso)
 
+    import dataclasses as _dc0
+
     levels: list[LevelCtx] = []
-    for spec in specs:
+    for l_idx, spec in enumerate(specs):
+        # Dist-path eligibility resolves against the level's own effective
+        # smoother (per-level smoother configuration).
+        eff_sm = cfg.smoother_at(l_idx, len(specs))
+        cfg_l = (cfg if eff_sm == cfg.smoother
+                 else _dc0.replace(cfg, smoother=eff_sm))
         if aniso:
             stencils = tuple(
                 stencil9_coefficients(aniso_prob, g.ny, g.nx, dtype)
@@ -767,7 +819,7 @@ def build_context(
         dinv = tuple(1.0 / st.cc for st in stencils)
         lc = LevelCtx(spec=spec, stencils=stencils, dinv=dinv,
                       shardings=shardings)
-        if _use_dist(lc, cfg, plan, dtype):
+        if _use_dist(lc, cfg_l, plan, dtype):
             from multigrid_petsc_tpu.parallel.dist_ops import DistLevelOps
 
             g0 = spec.primary
@@ -802,10 +854,20 @@ def build_context(
                 )
         levels.append(lc)
 
-    for lc in levels:
-        lc.use_pallas_apply = _use_pallas(lc, cfg)
-        lc.smooth = _build_smoother(lc, cfg)
-        lc.visit_down, lc.visit_up = _build_visits(lc, cfg)
+    # Per-level effective smoother (reference's fine_/levels_/coarse_
+    # prefix capability, src/solver.c:1624-1648): each level's smoother,
+    # visits and dist-path eligibility resolve against its own tier.
+    import dataclasses as _dc
+
+    def _level_cfg(l: int) -> SolverConfig:
+        eff = cfg.smoother_at(l, len(levels))
+        return cfg if eff == cfg.smoother else _dc.replace(cfg, smoother=eff)
+
+    for l, lc in enumerate(levels):
+        lcfg = _level_cfg(l)
+        lc.use_pallas_apply = _use_pallas(lc, lcfg)
+        lc.smooth = _build_smoother(lc, lcfg)
+        lc.visit_down, lc.visit_up = _build_visits(lc, lcfg)
 
     # Real coarsest-level solver (see solvers/coarse.py): only when the
     # hierarchy actually has a coarse level (levels >= 2); the one-level

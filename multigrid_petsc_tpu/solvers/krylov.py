@@ -55,7 +55,11 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     b = ctx.b0 if b0 is None else b0
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
 
-    if lvl0.papply is not None and ctx.precond_ctx is None:
+    # The fused path's mg_apply_cgdown indexes ctx.levels[1]; a 1-level
+    # hierarchy must stay on the generic loop (ADVICE r3: IndexError at
+    # trace time otherwise).
+    if (lvl0.papply is not None and ctx.precond_ctx is None
+            and len(ctx.levels) > 1):
         return _solve_mgcg_fused(ctx, b)
 
     precond = _mg_precond(ctx, v0, v1)

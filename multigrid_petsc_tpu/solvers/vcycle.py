@@ -44,25 +44,37 @@ def v_cycle(
     return _cycle(ctx, 0, b0, u0, v0, v1, emit_r)
 
 
+def _visit_sweeps(ctx, l: int, v0: int, v1: int) -> int:
+    """Sweep count for level ``l``'s visits: per-level override
+    (cfg.level_v, the reference's per-tier -v capability) when configured,
+    else the caller-passed (v0 fine/mid, v1 coarsest) rule."""
+    lv = getattr(getattr(ctx, "config", None), "level_v", None)
+    L = len(ctx.levels)
+    if lv is not None:
+        return int(lv[l])
+    return v1 if (l == L - 1 and L > 1) else v0
+
+
 def _cycle(ctx, l: int, b: State, u: State | None, v0: int, v1: int,
            emit: bool):
     """The V-cycle recursion from level ``l`` down (shared by v_cycle and
     mg_apply_dot)."""
     L = len(ctx.levels)
     lvl = ctx.levels[l]
+    k = _visit_sweeps(ctx, l, v0, v1)
     if l == L - 1:
         if L > 1 and lvl.coarse_solve is not None:
             u = lvl.constrain(lvl.coarse_solve(b))
         else:
             if u is None:
                 u = lvl.zeros(b[0].dtype)
-            u = lvl.smooth(b, u, v1 if L > 1 else v0)
+            u = lvl.smooth(b, u, k)
         return (u, lvl.residual(b, u)) if emit else u
-    u, rc1 = lvl.visit_down(b, u, v0)
+    u, rc1 = lvl.visit_down(b, u, k)
     b_next = ctx.restrict_rc1(l, rc1)
     u_next = _cycle(ctx, l + 1, b_next, None, v0, v1, False)
     e_c = ctx.prolong_half(l, u_next)
-    return lvl.visit_up(b, u, e_c, v0, emit)
+    return lvl.visit_up(b, u, e_c, k, emit)
 
 
 def mg_apply(ctx: MGContext, r: State, v0: int, v1: int) -> State:
@@ -83,11 +95,12 @@ def mg_apply_dot(ctx: MGContext, r: State, v0: int, v1: int):
     if len(ctx.levels) == 1 or lvl0.visit_up_dot is None:
         z = mg_apply(ctx, r, v0, v1)
         return z, tree_dot(r, z)
-    u, rc1 = lvl0.visit_down(r, None, v0)
+    k = _visit_sweeps(ctx, 0, v0, v1)
+    u, rc1 = lvl0.visit_down(r, None, k)
     b_next = ctx.restrict_rc1(0, rc1)
     u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
     e_c = ctx.prolong_half(0, u_next)
-    return lvl0.visit_up_dot(r, u, e_c, v0)
+    return lvl0.visit_up_dot(r, u, e_c, k)
 
 
 def mg_apply_cgdown(ctx: MGContext, r, ap, alpha, v0: int, v1: int):
@@ -100,11 +113,12 @@ def mg_apply_cgdown(ctx: MGContext, r, ap, alpha, v0: int, v1: int):
     inner products ride the kernels for free.  Only called on contexts
     whose level 0 has the fused CG kernels."""
     lvl0 = ctx.levels[0]
-    u0, rc1, r_new, rn2 = lvl0.cg_visit_down(r, ap, alpha, v0)
+    k = _visit_sweeps(ctx, 0, v0, v1)
+    u0, rc1, r_new, rn2 = lvl0.cg_visit_down(r, ap, alpha, k)
     b_next = ctx.restrict_rc1(0, rc1)
     u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
     e_c = ctx.prolong_half(0, u_next)
-    z, rz = lvl0.visit_up_dot((r_new,), (u0,), e_c, v0)
+    z, rz = lvl0.visit_up_dot((r_new,), (u0,), e_c, k)
     return z, rz, r_new, rn2
 
 
@@ -178,7 +192,8 @@ def fmg_initial_guess(ctx: MGContext, b0: State | None = None, n_coarse_cycles: 
     if L > 1 and last.coarse_solve is not None:
         u = last.constrain(last.coarse_solve(bs[L - 1]))
     else:
-        u = last.smooth(bs[L - 1], last.zeros(dtype), cfg.v[1])
+        u = last.smooth(bs[L - 1], last.zeros(dtype),
+                        _visit_sweeps(ctx, L - 1, v0, v1))
     for l in range(L - 2, -1, -1):
         u = (ctx.prolong_from_next(l, u),) + tuple(
             jnp.zeros(g.shape, dtype) for g in ctx.levels[l].spec.grids[1:]
@@ -195,10 +210,18 @@ class _TruncatedCtx:
     Duck-types the subset of MGContext that ``v_cycle`` uses."""
 
     def __init__(self, ctx: MGContext, start: int):
+        import dataclasses
+
         self._ctx = ctx
         self._start = start
         self.levels = ctx.levels[start:]
         self.dtype = ctx.dtype
+        # Per-level sweep overrides shift with the truncation.
+        lv = ctx.config.level_v
+        self.config = (
+            ctx.config if lv is None
+            else dataclasses.replace(ctx.config, level_v=tuple(lv[start:]))
+        )
 
     def restrict_to_next(self, l, r):
         return self._ctx.restrict_to_next(self._start + l, r)

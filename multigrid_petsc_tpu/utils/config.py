@@ -64,6 +64,20 @@ class SolverConfig:
     problem: str = "poisson"  # "poisson" (5-pt, mesh metrics) | "aniso" (9-pt)
     aniso: tuple = (1.0, 0.0, 1.0, 0.0, 0.0)  # (ax0, ax2, cy0, cy2, b)
     smoother: SmootherType = SmootherType.JACOBI
+    # Per-level smoother/sweep configuration — the reference's capability
+    # of giving each level tier its own KSP/PC options via the ``fine_``/
+    # ``levels_``/``coarse_`` option prefixes (reference:
+    # src/solver.c:1476,1492,1509,1624-1648 KSPSetFromOptions per tier).
+    # Tier overrides (None -> fall back to ``smoother``):
+    fine_smoother: SmootherType | None = None    # level 0
+    levels_smoother: SmootherType | None = None  # mid levels 1..L-2
+    coarse_smoother: SmootherType | None = None  # coarsest level L-1
+    # Explicit per-level override (len == levels; entries None fall back
+    # to the tier/global resolution).  Wins over the tier fields.
+    level_smoothers: tuple | None = None
+    # Per-level sweep counts for the V-cycle family (len == levels);
+    # None -> the reference's (v0 fine/mid, v1 coarsest) semantics.
+    level_v: tuple | None = None
     composite_smoother: str = "block_gs"  # smoother on merged-grid levels
     backend: str = "auto"  # auto | xla | pallas (matrix-free kernel choice)
     # | sparse (explicit assembled CSR->DIA/ELL operator per level — the
@@ -106,12 +120,52 @@ class SolverConfig:
             raise ValueError("levels cannot exceed grids")
         if self.history_len is not None and self.history_len < 1:
             raise ValueError("history_len must be >= 1")
+        if (self.level_smoothers is not None
+                and len(self.level_smoothers) != self.levels):
+            raise ValueError("level_smoothers must have one entry per level")
+        if self.level_v is not None:
+            if len(self.level_v) != self.levels:
+                raise ValueError("level_v must have one entry per level")
+            if any(int(s) < 1 for s in self.level_v):
+                raise ValueError("level_v entries must be >= 1")
         return self
 
     @property
     def hist_len(self) -> int:
         """Residual-history capacity (entries 0..hist_len)."""
         return self.history_len if self.history_len is not None else self.max_iter
+
+    def smoother_at(self, l: int, n_levels: int) -> SmootherType:
+        """Effective smoother for level ``l`` of ``n_levels``: explicit
+        per-level entry, else tier override (fine_/levels_/coarse_), else
+        the global ``smoother``."""
+        if self.level_smoothers is not None:
+            s = self.level_smoothers[l]
+            if s is not None:
+                return SmootherType(s)
+        if l == 0 and self.fine_smoother is not None:
+            return SmootherType(self.fine_smoother)
+        if l == n_levels - 1 and n_levels > 1 and self.coarse_smoother is not None:
+            return SmootherType(self.coarse_smoother)
+        if 0 < l < n_levels - 1 and self.levels_smoother is not None:
+            return SmootherType(self.levels_smoother)
+        return self.smoother
+
+    def sweeps_at(self, l: int, n_levels: int) -> int:
+        """Effective sweep count for level ``l``'s visits: ``level_v[l]``
+        when set, else the reference's (v0 fine/mid, v1 coarsest) rule."""
+        if self.level_v is not None:
+            return int(self.level_v[l])
+        return self.v[1] if (l == n_levels - 1 and n_levels > 1) else self.v[0]
+
+    @property
+    def max_sweeps(self) -> int:
+        """Largest sweep count any level visit can request (halo-carry
+        viability checks for the fused kernels)."""
+        m = max(self.v)
+        if self.level_v is not None:
+            m = max(m, max(int(s) for s in self.level_v))
+        return m
 
 
 _KEY_MAP = {
@@ -146,6 +200,17 @@ def parse_options_file(path: str | Path, base: SolverConfig | None = None) -> So
             updates["v"] = (nums[0], nums[1] if len(nums) > 1 else nums[0])
         elif key == "smoother":
             updates["smoother"] = SmootherType(val)
+        elif key in ("fine_smoother", "levels_smoother", "coarse_smoother"):
+            # Reference analogue: the fine_/levels_/coarse_ KSP option
+            # prefixes (src/solver.c:1624-1648).
+            updates[key] = SmootherType(val)
+        elif key == "level_smoothers":
+            updates["level_smoothers"] = tuple(
+                None if s in ("", "-") else SmootherType(s)
+                for s in val.split(",")
+            )
+        elif key == "level_v":
+            updates["level_v"] = tuple(int(x) for x in val.split(","))
         elif key == "omega":
             updates["omega"] = float(val)
         elif key == "rtol":

@@ -28,7 +28,18 @@ def print_info(cfg: SolverConfig, res, errs) -> None:
     print(f"Number of grids:           {cfg.grids}")
     print(f"Number of levels:          {cfg.levels}")
     print(f"Cycle:                     {cfg.cycle.name}")
-    print(f"Smoother:                  {cfg.smoother.value} (v = {cfg.v})")
+    per_level = (cfg.level_smoothers is not None or cfg.level_v is not None
+                 or cfg.fine_smoother is not None
+                 or cfg.levels_smoother is not None
+                 or cfg.coarse_smoother is not None)
+    if per_level:
+        sm = ",".join(cfg.smoother_at(l, cfg.levels).value
+                      for l in range(cfg.levels))
+        sw = (",".join(str(cfg.sweeps_at(l, cfg.levels))
+                       for l in range(cfg.levels)))
+        print(f"Smoother:                  per-level [{sm}] (v = [{sw}])")
+    else:
+        print(f"Smoother:                  {cfg.smoother.value} (v = {cfg.v})")
     print(f"Total unknowns:            {total_unknowns(cfg.npts, cfg.grids)}"
           f" (fine grid: {n0 * n0})")
     print(f"Devices:                   {jax.device_count()} x "

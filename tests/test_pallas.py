@@ -426,3 +426,180 @@ def test_mgcg_fused_path_matches_generic():
     np.testing.assert_allclose(np.asarray(got.rnorm_history),
                                np.asarray(ref.rnorm_history),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_mgcg_fused_guard_one_level():
+    """A 1-level MGCG config with the fused kernels attached must stay on
+    the generic PCG loop: mg_apply_cgdown indexes ctx.levels[1], so the
+    fast-path guard requires a coarse level (ADVICE r3 regression)."""
+    import functools
+
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        cg_papply_pallas,
+        cg_visit_down_pallas,
+        jacobi_step_coeffs,
+    )
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.solvers.krylov import solve_mgcg
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    cfg = SolverConfig(npts=65, grids=1, levels=1, cycle=CycleType.MGCG,
+                       dtype="float64", rtol=1e-8, max_iter=200)
+    ctx = build_context(cfg)
+    st0 = ctx.levels[0].stencils[0]
+    steps_fn = lambda s: jacobi_step_coeffs(s, cfg.omega)
+    # Wire the fused kernels exactly as _build_visits would on a
+    # Pallas-eligible TPU grid; the guard must ignore them at 1 level.
+    ctx.levels[0].papply = functools.partial(
+        cg_papply_pallas, st0, interpret=True)
+    ctx.levels[0].cg_visit_down = (
+        lambda r, ap, alpha, sweeps: cg_visit_down_pallas(
+            st0, r, ap, alpha, steps_fn(sweeps), interpret=True))
+    res = solve_mgcg(ctx)  # would IndexError at trace time before the fix
+    assert bool(res.converged)
+
+
+# ---------------------------------------------------------------------------
+# Fused 9-point level visits (stencil9_kernel.fused_level_visit9_pallas).
+# ---------------------------------------------------------------------------
+
+
+def _residual9(st, b, u):
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+
+    return b - apply_stencil9(st, u)
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (127, 63), (257, 129)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+@pytest.mark.parametrize("zero_guess", [False, True])
+def test_visit_down9_matches(shape, sweeps, zero_guess):
+    """9-pt emit='rc': smoothed u AND restrict_fw(b - A u) in one kernel
+    (incl. the zero-guess variant used by preconditioner visits)."""
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        fused_level_visit9_pallas,
+    )
+
+    ny, nx = shape
+    st = _aniso_st9(ny, nx)
+    rng = np.random.default_rng(ny + sweeps)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    steps = jacobi_step_coeffs(sweeps, 0.8)
+    u_ref = _ref_smooth9(st, b, jnp.zeros_like(u) if zero_guess else u,
+                         steps)
+    rc_ref = restrict_fw(_residual9(st, b, u_ref))
+    u_got, rc_got = fused_level_visit9_pallas(
+        st, b, None if zero_guess else u, steps, emit="rc", interpret=True)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(rc_got), np.asarray(rc_ref),
+                               rtol=1e-12,
+                               atol=1e-12 * float(np.abs(rc_ref).max()))
+
+
+@pytest.mark.parametrize("shape", [(63, 63), (257, 129)])
+@pytest.mark.parametrize("sweeps", [1, 3])
+@pytest.mark.parametrize("emit_r", [False, True])
+def test_visit_up9_matches(shape, sweeps, emit_r):
+    """9-pt up-visit semantics as composed by the context closure: the
+    coarse correction u + P e runs as the XLA pass, the fused kernel
+    smooths (emit='u'/'ur')."""
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        fused_level_visit9_pallas,
+    )
+
+    ny, nx = shape
+    st = _aniso_st9(ny, nx)
+    rng = np.random.default_rng(nx + sweeps + emit_r)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    steps = jacobi_step_coeffs(sweeps, 0.8)
+    u_corr = u + prolong_bilinear(e)
+    u_ref = _ref_smooth9(st, b, u_corr, steps)
+    out = fused_level_visit9_pallas(
+        st, b, u_corr, steps, emit="ur" if emit_r else "u", interpret=True)
+    if emit_r:
+        u_got, r_got = out
+        r_ref = _residual9(st, b, u_ref)
+        np.testing.assert_allclose(np.asarray(r_got), np.asarray(r_ref),
+                                   rtol=1e-12,
+                                   atol=1e-12 * float(np.abs(r_ref).max()))
+    else:
+        u_got = out
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+
+
+def test_visit_up9_in_kernel_correct_and_dot():
+    """The in-kernel correction path (e_coarse=...) and emit_dot."""
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        fused_level_visit9_pallas,
+    )
+
+    ny, nx = 127, 63
+    st = _aniso_st9(ny, nx)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    steps = jacobi_step_coeffs(2, 0.8)
+    u_ref = _ref_smooth9(st, b, u + prolong_bilinear(e), steps)
+    u_got = fused_level_visit9_pallas(st, b, u, steps, emit="u",
+                                      e_coarse=e, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               rtol=1e-12, atol=1e-11)
+    z_got, dot = fused_level_visit9_pallas(
+        st, b, None, steps, emit="u", emit_dot=True, interpret=True)
+    z_ref = _ref_smooth9(st, b, jnp.zeros_like(b), steps)
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                               rtol=1e-12, atol=1e-11)
+    dot_ref = float(jnp.vdot(b.ravel(), z_ref.ravel()))
+    assert abs(float(dot) - dot_ref) <= 1e-9 * abs(dot_ref)
+
+
+def test_aniso_fused_visits_wired_and_match_generic():
+    """On a context with the 9-pt fused visits wired (interpret mode),
+    the mg-CG solve reproduces the generic-path solve iterate-for-iterate
+    (same wiring _build_visits does on TPU)."""
+    import dataclasses
+
+    from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
+        fused_level_visit9_pallas,
+    )
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.solvers.krylov import solve_mgcg
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    cfg = SolverConfig(npts=129, grids=4, levels=4, cycle=CycleType.MGCG,
+                       problem="aniso", aniso=(1.0, 0.0, 100.0, 0.0, 0.0),
+                       dtype="float64", rtol=1e-8)
+    ctx = build_context(cfg)
+    ref = solve_mgcg(ctx)
+
+    steps_fn = lambda s: jacobi_step_coeffs(s, cfg.omega)
+    for lc in ctx.levels[:-1]:
+        st9 = lc.stencils[0]
+
+        def visit_down(b, u, sweeps, _st=st9):
+            u0, rc1 = fused_level_visit9_pallas(
+                _st, b[0], None if u is None else u[0], steps_fn(sweeps),
+                emit="rc", interpret=True)
+            return (u0,), rc1
+
+        def visit_up(b, u, e_c, sweeps, emit_r=False, _st=st9):
+            u0 = u[0] + prolong_bilinear(e_c)
+            out = fused_level_visit9_pallas(
+                _st, b[0], u0, steps_fn(sweeps),
+                emit="ur" if emit_r else "u", interpret=True)
+            if emit_r:
+                return (out[0],), (out[1],)
+            return (out,)
+
+        lc.visit_down = visit_down
+        lc.visit_up = visit_up
+    got = solve_mgcg(ctx)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.u[0]), np.asarray(ref.u[0]),
+                               rtol=1e-9, atol=1e-11)

@@ -231,3 +231,6 @@ def test_real_solve_bf16_precond_1025():
     # roughly 2x the iterations at this size (measured 9 vs 4; see
     # PERFORMANCE.md "bfloat16 preconditioner").
     assert res.iters <= 2 * ref.iters + 2
+    # Absolute ceiling so a bf16-path regression cannot hide behind growth
+    # in ref.iters (measured: ref 4, bf16 9).
+    assert res.iters <= 10

@@ -48,6 +48,14 @@ def main() -> None:
     )
     res = solve(cfg, timed=True)
     assert res.converged, "bench solve failed to converge"
+    if on_tpu:
+        # The headline number is only meaningful on the fused-CG fast
+        # path — a silent fallback to the generic loop must fail loudly
+        # (VERDICT r3: an unasserted path made a regression invisible).
+        lvl0 = res.ctx.levels[0]
+        assert lvl0.papply is not None and lvl0.cg_visit_down is not None, (
+            "fused-CG fast path inactive under the bench config"
+        )
 
     # DEVICE per-cycle time by iteration differencing (the methodology of
     # benchmarks/baseline_configs.run_config): two forced-length runs of
@@ -72,6 +80,16 @@ def main() -> None:
                 "value": round(n2 / s_per_cycle),
                 "unit": "point-updates/s",
                 "vs_baseline": round(frac, 4),
+                # Raw evidence for the fraction (VERDICT r3 weak-3): the
+                # device per-cycle time, the achieved bytes/s against the
+                # fused-visit traffic model, and the measured stream rate
+                # the fraction is normalized by.
+                "ms_per_cycle_device": round(1e3 * s_per_cycle, 3),
+                "achieved_GBps_vs_model": round(per_iter / s_per_cycle / 1e9,
+                                                1),
+                "stream_GBps": round(bw / 1e9, 1),
+                "modeled_MB_per_iter": round(per_iter / 1e6, 1),
+                "solve_iters": int(res.iters),
             }
         )
     )

@@ -122,13 +122,21 @@ def dist_coeff_slabs(
     return ext[:, idx].transpose(1, 0, 2)[..., None]  # (P*g, 5, t2, 1)
 
 
-def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
+def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool,
+                      i0: int = 0, stride: int = 1, n_pass: int = 0):
     """Fused distributed level-visit kernel body (one device's row block).
 
     No global-row masking: Dirichlet/pad semantics live in the coefficient
     slabs + zero-filled halos (see module docstring).  ``flag_ref`` is 1 on
     the last device — used only to zero the global coarse pad row of the
     'rc' emit.
+
+    ``i0``/``stride`` map program ids to BLOCK indices (block = i0 +
+    pid * stride): the overlapped two-call split runs interior blocks
+    (i0=1, stride=1) and edge blocks (i0=0, stride=g-1) as separate
+    pallas_calls so the halo ppermutes can overlap interior compute.
+    ``n_pass`` = number of donated passthrough inputs appended after the
+    regular inputs (see the kernel body note).
     """
     t2 = t + 2 * h
 
@@ -139,7 +147,12 @@ def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool):
         else:
             (flag_ref, c_ref, u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
              *outs) = refs
-        i = pl.program_id(0).astype(jnp.int32)
+        # Overlapped edge call: donated passthrough inputs (the interior
+        # call's partial outputs) ride at the end of the inputs — ignored
+        # by the body, their buffers ARE the outputs being edge-filled.
+        outs = outs[n_pass:]
+        i = (jnp.int32(i0)
+             + pl.program_id(0).astype(jnp.int32) * jnp.int32(stride))
         u = jnp.concatenate(
             [_load_f32(ut_ref)[0], _load_f32(u_ref), _load_f32(ub_ref)[0]],
             axis=0)
@@ -250,6 +263,17 @@ def dist_level_visit_local(
     Exchanges the halo rows with the axis neighbors via ppermute, then runs
     the fused Pallas kernel over the local slabs.  Returns per ``emit``:
     "u" -> u', "a" -> A u, "r" -> b - A u, "ur" -> (u', r), "rc" -> (u', R r).
+
+    **Halo/compute overlap** (g >= 3 blocks): the visit runs as TWO
+    pallas_calls — interior blocks 1..g-2 first (they depend only on
+    locally-gathered windows), then the two edge blocks consuming the
+    ppermuted remote rows.  Nothing forces the exchange to finish before
+    the interior call, so XLA's latency-hiding scheduler can hoist the
+    collective-starts over the interior kernel — PETSc's scatter-begin /
+    local-SpMV / scatter-end pattern (reference: src/solver.c:1516,1535,
+    1540) in XLA-async form.  The edge call's outputs alias the interior
+    call's partial outputs (donated passthrough), so the split moves no
+    extra HBM bytes beyond re-fetching the two edge blocks (~2t rows).
     """
     R, nx = u.shape
     k = len(steps)
@@ -259,22 +283,20 @@ def dist_level_visit_local(
 
     u_ext_t, u_ext_b = _edge_exchange(u, h, axis)
     b_ext_t, b_ext_b = _edge_exchange(b, h, axis)
-    u_top, u_bot = _windows(u, t, g, h, u_ext_t, u_ext_b)
-    b_top, b_bot = _windows(b, t, g, h, b_ext_t, b_ext_b)
 
     flag = (lax.axis_index(axis) == lax.axis_size(axis) - 1)
     flag = flag.astype(jnp.int32).reshape(1, 1)
 
-    mid = pl.BlockSpec((t, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    halo = pl.BlockSpec((1, h, nx), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    coeff = pl.BlockSpec((1, 5, t + 2 * h, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    def halo_spec(hh):
+        return pl.BlockSpec((1, hh, nx), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     flag_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM)
-    in_specs = [flag_spec, coeff, mid, halo, halo, mid, halo, halo]
-    args = [flag, c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
+    e_x = e_ext_t = e_ext_b = None
+    th = bh = 0
     if correct:
         # x-half of the prolongation on the local quarter-size block
         # BEFORE the halo exchange (x is unsharded, so this is a purely
@@ -282,60 +304,137 @@ def dist_level_visit_local(
         e_x = prolong_x_bilinear(e)  # (R//2, nx)
         th, bh = _e_halo_rows(h)
         e_ext_t, e_ext_b = _edge_exchange(e_x, max(th, bh), axis)
-        eblocks = e_x.reshape(g, t // 2, nx)
-        if g == 1:
-            e_top = e_ext_t[-th:][None]
-            e_bot = e_ext_b[:bh][None]
-        else:
-            e_top = jnp.concatenate(
-                [e_ext_t[-th:][None], eblocks[:-1, t // 2 - th :]], axis=0
-            )
-            e_bot = jnp.concatenate(
-                [eblocks[1:, :bh], e_ext_b[:bh][None]], axis=0
-            )
-        in_specs += [
-            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, nx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh, nx), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args += [e_x, e_top, e_bot]
 
-    out_specs = [mid]
-    out_shape = [jax.ShapeDtypeStruct((R, nx), u.dtype)]
-    if emit == "ur":
-        out_specs.append(mid)
-        out_shape.append(jax.ShapeDtypeStruct((R, nx), u.dtype))
-    elif emit == "rc":
-        # Half-height FULL-width y-restricted residual; x-half applied
-        # below (restrict_x_fw) as a local XLA pass.
-        out_specs.append(
-            pl.BlockSpec((t // 2, nx), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        out_shape.append(jax.ShapeDtypeStruct((R // 2, nx), u.dtype))
+    n_out = 2 if emit in ("ur", "rc") else 1
 
-    with _x64_scope(u.dtype):
-        out = pl.pallas_call(
-            _make_dist_kernel(t, g, h, steps, emit, correct),
-            grid=(g,),
-            in_specs=in_specs,
-            out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
-            out_shape=out_shape if len(out_shape) > 1 else out_shape[0],
+    def build_call(i0, stride, n_prog, mid_map, cmid_map, passthrough):
+        """One pallas_call over the blocks {i0 + j*stride}."""
+        mid = pl.BlockSpec((t, nx), mid_map, memory_space=pltpu.VMEM)
+        midc = pl.BlockSpec((t // 2, nx), mid_map, memory_space=pltpu.VMEM)
+        coeff = pl.BlockSpec((1, 5, t + 2 * h, 1), cmid_map,
+                             memory_space=pltpu.VMEM)
+        in_specs = [flag_spec, coeff, mid, halo_spec(h), halo_spec(h),
+                    mid, halo_spec(h), halo_spec(h)]
+        if correct:
+            in_specs += [midc, halo_spec(th), halo_spec(bh)]
+        out_specs = [mid]
+        out_shape = [jax.ShapeDtypeStruct((R, nx), u.dtype)]
+        if emit == "ur":
+            out_specs.append(mid)
+            out_shape.append(jax.ShapeDtypeStruct((R, nx), u.dtype))
+        elif emit == "rc":
+            # Half-height FULL-width y-restricted residual; x-half applied
+            # below (restrict_x_fw) as a local XLA pass.
+            out_specs.append(midc)
+            out_shape.append(jax.ShapeDtypeStruct((R // 2, nx), u.dtype))
+        n_pass = len(passthrough)
+        aliases = {}
+        n_fixed = len(in_specs)
+        if emit not in ("a", "r"):
             # u' aliases the dead-after input u (see stencil_kernel.
             # smooth_sweeps_pallas): elides XLA's copy pass around carried
             # kernel outputs; safe in-place since each program reads only
-            # its own u slab (halos ride separate exchanged arrays).
-            input_output_aliases=(
-                {} if emit in ("a", "r") else {2: 0}
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 2**20
-            ),
-            interpret=interpret,
-        )(*args)
+            # its own u slab (halos ride separate exchanged arrays).  In
+            # the edge call the u input IS the interior call's partial u'.
+            aliases[2] = 0
+        if n_pass:
+            # Donated passthrough partials for the TRAILING outputs (the
+            # edge call fills its own blocks; interior rows ride through
+            # the shared buffer).  Specs mirror the matching outputs.
+            base = n_out - n_pass
+            in_specs += [out_specs[base + j] for j in range(n_pass)]
+            for j in range(n_pass):
+                aliases[n_fixed + j] = base + j
+
+        def run(*args):
+            with _x64_scope(u.dtype):
+                return pl.pallas_call(
+                    _make_dist_kernel(t, g, h, steps, emit, correct,
+                                      i0=i0, stride=stride, n_pass=n_pass),
+                    grid=(n_prog,),
+                    in_specs=in_specs,
+                    out_specs=(out_specs if len(out_specs) > 1
+                               else out_specs[0]),
+                    out_shape=(out_shape if len(out_shape) > 1
+                               else out_shape[0]),
+                    input_output_aliases=aliases,
+                    compiler_params=cp,
+                    interpret=interpret,
+                )(*args, *passthrough)
+
+        return run
+
+    if g < 3:
+        # Too few blocks to split: single call over all slabs (the
+        # pre-overlap composition; exchange completes before the kernel).
+        u_top, u_bot = _windows(u, t, g, h, u_ext_t, u_ext_b)
+        b_top, b_bot = _windows(b, t, g, h, b_ext_t, b_ext_b)
+        args = [flag, c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+        if correct:
+            eblocks = e_x.reshape(g, t // 2, nx)
+            if g == 1:
+                e_top = e_ext_t[-th:][None]
+                e_bot = e_ext_b[:bh][None]
+            else:
+                e_top = jnp.concatenate(
+                    [e_ext_t[-th:][None], eblocks[:-1, t // 2 - th :]],
+                    axis=0)
+                e_bot = jnp.concatenate(
+                    [eblocks[1:, :bh], e_ext_b[:bh][None]], axis=0)
+            args += [e_x, e_top, e_bot]
+        out = build_call(0, 1, g, lambda i: (i, 0),
+                         lambda i: (i, 0, 0, 0), ())(*args)
+        if emit == "rc":
+            u_out, ry = out
+            return u_out, restrict_x_fw(ry)
+        return out
+
+    # ---- overlapped two-call path -------------------------------------
+    # Local-only neighbor windows (no ppermute dependency): tops[j] serves
+    # block j+1, bots[j] serves block j.
+    ublocks = u.reshape(g, t, nx)
+    bblocks = b.reshape(g, t, nx)
+    u_tops_loc = ublocks[:-1, t - h :]   # (g-1, h, nx)
+    u_bots_loc = ublocks[1:, :h]
+    b_tops_loc = bblocks[:-1, t - h :]
+    b_bots_loc = bblocks[1:, :h]
+
+    int_args = [flag, c_slabs,
+                u, u_tops_loc[: g - 2], u_bots_loc[1:],
+                b, b_tops_loc[: g - 2], b_bots_loc[1:]]
+    if correct:
+        eblocks = e_x.reshape(g, t // 2, nx)
+        e_tops_loc = eblocks[:-1, t // 2 - th :]
+        e_bots_loc = eblocks[1:, :bh]
+        int_args += [e_x, e_tops_loc[: g - 2], e_bots_loc[1:]]
+    interior = build_call(1, 1, g - 2, lambda i: (i + 1, 0),
+                          lambda i: (i + 1, 0, 0, 0), ())(*int_args)
+    part = interior if isinstance(interior, (tuple, list)) else (interior,)
+
+    # Edge call: blocks {0, g-1}; remote halos + the adjacent local
+    # windows (pre-gathered above, so the in-place interior write cannot
+    # clobber them).
+    u_top_e = jnp.stack([u_ext_t, u_tops_loc[g - 2]])
+    u_bot_e = jnp.stack([u_bots_loc[0], u_ext_b])
+    b_top_e = jnp.stack([b_ext_t, b_tops_loc[g - 2]])
+    b_bot_e = jnp.stack([b_bots_loc[0], b_ext_b])
+    edge_args = [flag, c_slabs,
+                 part[0], u_top_e, u_bot_e, b, b_top_e, b_bot_e]
+    if emit in ("a", "r"):
+        # Output is not u-aliased: the edge call's u input is the ORIGINAL
+        # u (interior call did not donate it), its out passthrough is the
+        # interior partial.
+        edge_args[2] = u
+    if correct:
+        e_top_e = jnp.stack([e_ext_t[-th:], e_tops_loc[g - 2]])
+        e_bot_e = jnp.stack([e_bots_loc[0], e_ext_b[:bh]])
+        edge_args += [e_x, e_top_e, e_bot_e]
+    passthrough = ((part[0],) if emit in ("a", "r")
+                   else tuple(part[1:n_out]))
+    edge_gm = g - 1
+    out = build_call(0, edge_gm, 2, lambda i: (i * edge_gm, 0),
+                     lambda i: (i * edge_gm, 0, 0, 0),
+                     passthrough)(*edge_args)
     if emit == "rc":
         u_out, ry = out
         return u_out, restrict_x_fw(ry)

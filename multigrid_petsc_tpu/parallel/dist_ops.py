@@ -58,6 +58,8 @@ class DistLevelOps:
         dtype,
         steps_fn=None,  # sweeps -> tuple of (alpha, beta) smoother steps
         interpret: bool = False,
+        tile_cap: int | None = None,  # force smaller row tiles (tests: the
+        # overlapped two-call split engages only when R/t >= 3 blocks)
     ):
         self.st = st
         self.ny, self.nx = ny, nx
@@ -67,6 +69,7 @@ class DistLevelOps:
         self.dtype = jnp.dtype(dtype)
         self.steps_fn = steps_fn
         self.interpret = interpret
+        self.tile_cap = tile_cap
         self.sharding = NamedSharding(mesh, PartitionSpec("y", None))
         self._cache: dict = {}
 
@@ -95,7 +98,8 @@ class DistLevelOps:
         if key in self._cache:
             return self._cache[key]
         h = halo_rows(len(steps), emit)
-        t = pick_tile(self.R, h, nx=self.nx, itemsize=self.dtype.itemsize)
+        t = pick_tile(self.R, h, nx=self.nx, itemsize=self.dtype.itemsize,
+                      cap=self.tile_cap if self.tile_cap else 256)
         if t is None:
             raise ValueError(
                 f"level rows/device R={self.R} cannot carry halo h={h}"

@@ -622,7 +622,6 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         from multigrid_petsc_tpu.ops.pallas.stencil9_kernel import (
             fused_level_visit9_pallas,
         )
-        from multigrid_petsc_tpu.ops.transfer import prolong_bilinear
 
         st9 = lc.stencils[0]
 
@@ -633,24 +632,22 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
             )
             return (u0,), rc1
 
-        # Up-visit split: coarse correction as one fused XLA pass, the
-        # smoother as the fused kernel (same trade as the 5-pt path; see
-        # the visit_up note below).
+        # Up-visit correction in-kernel (see the 5-pt visit_up note: the
+        # separate XLA interleave pass measured ~8 ms/visit at 8191^2).
         def visit_up9(b, u, e_c, sweeps, emit_r=False, _st=st9,
                       _steps=steps_fn):
-            u0 = u[0] + prolong_bilinear(e_c)
             out = fused_level_visit9_pallas(
-                _st, b[0], u0, _steps(sweeps),
-                emit="ur" if emit_r else "u",
+                _st, b[0], u[0], _steps(sweeps),
+                emit="ur" if emit_r else "u", e_coarse=e_c,
             )
             if emit_r:
                 return (out[0],), (out[1],)
             return (out,)
 
         def visit_up_dot9(b, u, e_c, sweeps, _st=st9, _steps=steps_fn):
-            u0 = u[0] + prolong_bilinear(e_c)
             z, dot = fused_level_visit9_pallas(
-                _st, b[0], u0, _steps(sweeps), emit="u", emit_dot=True,
+                _st, b[0], u[0], _steps(sweeps), emit="u", emit_dot=True,
+                e_coarse=e_c,
             )
             return (z,), dot
 
@@ -675,19 +672,17 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
             )
             return (u0,), rc1
 
-        from multigrid_petsc_tpu.ops.transfer import prolong_bilinear
-
-        # Up-visit split: the coarse correction u += P e runs as ONE fused
-        # XLA pass (strided interleaves are cheap in XLA), the smoother as
-        # the fused kernel with the corrected u donated.  The all-in-kernel
-        # variant (e_coarse=...) moves ~1 fewer pass but its in-VMEM
-        # y-interleave measured ~3 ms/visit at 8191^2 on v5e — over 2x the
-        # cost of the extra XLA read+write (probe_kernel_rates.py).
+        # Up-visit correction IN-KERNEL (e_coarse=...): round 4 attribution
+        # (benchmarks/results/probe_cg_parts_r04.txt) measured the separate
+        # XLA pass u0 = u + prolong_bilinear(e) at ~8 ms/visit at 8191^2 —
+        # the lane interleave dominates the whole up-visit (10.8 ms vs
+        # 2.6 ms for the kernel+dot alone).  The in-kernel path moves only
+        # the x-half (quarter-size prolong_x_bilinear) through XLA and
+        # y-interleaves in VMEM (sublane ops — cheap in Mosaic).
         def visit_up(b, u, e_c, sweeps, emit_r=False, _st=st, _steps=steps_fn):
-            u0 = u[0] + prolong_bilinear(e_c)
             out = fused_level_visit_pallas(
-                _st, b[0], u0, _steps(sweeps),
-                emit="ur" if emit_r else "u",
+                _st, b[0], u[0], _steps(sweeps),
+                emit="ur" if emit_r else "u", e_coarse=e_c,
             )
             if emit_r:
                 return (out[0],), (out[1],)
@@ -702,9 +697,9 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         )
 
         def visit_up_dot(b, u, e_c, sweeps, _st=st, _steps=steps_fn):
-            u0 = u[0] + prolong_bilinear(e_c)
             z, dot = fused_level_visit_pallas(
-                _st, b[0], u0, _steps(sweeps), emit="u", emit_dot=True,
+                _st, b[0], u[0], _steps(sweeps), emit="u", emit_dot=True,
+                e_coarse=e_c,
             )
             return (z,), dot
 

@@ -208,3 +208,63 @@ def test_dist_viability_rules():
     assert dist_viable(127, 8, 3)
     assert not dist_viable(126, 8, 3)  # ny+1 not divisible
     assert not dist_viable(15, 8, 3)   # R = 2, odd/too small for halo
+
+
+def test_dist_overlapped_split_matches():
+    """The halo/compute-overlap path (g >= 3 row blocks per device: the
+    interior call runs without the exchanged rows, the edge call consumes
+    them with donated passthrough outputs) reproduces the jnp reference
+    exactly — every emit variant.  Production 8191^2 runs take this path
+    (R=1024, t=128, g=8); the default tests' small grids all land on the
+    single-call fallback (g=1), so this forces small tiles."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        jacobi_step_coeffs,
+    )
+
+    ny = nx = 255  # R = 32 on 8 devices; tile_cap=8 -> t=8, g=4
+    st = stencil_coefficients(MeshType.NONUNIFORM2, ny, nx)
+    ops = DistLevelOps(
+        st, ny, nx, make_row_mesh(), jnp.float64,
+        steps_fn=lambda s: jacobi_step_coeffs(s, 0.8),
+        interpret=True, tile_cap=8,
+    )
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+
+    # smooth (emit 'u')
+    got = np.asarray(ops.smooth(_pad1(b), _pad1(u), 3))
+    exp_u = _jacobi_ref(st, b, u, 3)
+    np.testing.assert_allclose(got[:-1], np.asarray(exp_u),
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(got[-1] == 0.0)
+
+    # apply / residual (emit 'a'/'r': passthrough-donated fresh output)
+    got_a = np.asarray(ops.apply(_pad1(u)))
+    np.testing.assert_allclose(got_a[:-1], np.asarray(apply_stencil5(st, u)),
+                               rtol=1e-12, atol=1e-12)
+    got_r = np.asarray(ops.residual(_pad1(b), _pad1(u)))
+    np.testing.assert_allclose(
+        got_r[:-1], np.asarray(b - apply_stencil5(st, u)),
+        rtol=1e-12, atol=1e-12)
+
+    # visit_down (emit 'rc': u + half-height second output)
+    u1, rc = ops.visit_down(_pad1(b), _pad1(u), 3)
+    rc_exp = restrict_fw(b - apply_stencil5(st, exp_u))
+    np.testing.assert_allclose(np.asarray(u1)[:-1], np.asarray(exp_u),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rc)[:-1], np.asarray(rc_exp),
+                               rtol=1e-12,
+                               atol=1e-14 * float(np.abs(rc_exp).max()))
+
+    # visit_up with correction + emitted residual (emit 'ur' + correct)
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    e_pad = jnp.pad(e, ((0, 1), (0, 0)))  # coarse pad row
+    u2, r2 = ops.visit_up(_pad1(b), _pad1(u), e_pad, 3, emit_r=True)
+    u_corr = u + prolong_bilinear(e)
+    exp_u2 = _jacobi_ref(st, b, u_corr, 3)
+    np.testing.assert_allclose(np.asarray(u2)[:-1], np.asarray(exp_u2),
+                               rtol=1e-12, atol=1e-11)
+    r_exp = np.asarray(b - apply_stencil5(st, exp_u2))
+    np.testing.assert_allclose(np.asarray(r2)[:-1], r_exp, rtol=1e-12,
+                               atol=1e-14 * float(np.abs(r_exp).max()))

@@ -94,6 +94,12 @@ def measured_pallas_bandwidth(n: int = 8192, dtype=jnp.float32) -> float:
     key = ("pallas", n, jnp.dtype(dtype).name)
     if key in _BW_CACHE:
         return _BW_CACHE[key]
+    if jax.devices()[0].platform != "tpu":
+        # Off-TPU (CPU smoke runs): compiled pallas_call is unsupported and
+        # interpret mode is orders of magnitude off any hardware rate —
+        # report the triad rate so the record stays well-defined.
+        _BW_CACHE[key] = measured_bandwidth(n - 1, dtype)
+        return _BW_CACHE[key]
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -205,6 +211,21 @@ def true_residual_f64(res, cfg) -> float:
     return float(jnp.linalg.norm(r.ravel()) / jnp.linalg.norm(b.ravel()))
 
 
+def discrete_errors(res, cfg) -> dict:
+    """max/L1/L2 of |u - u_exact| on the fine grid — the reference's eData
+    record (src/solver.c:1211-1237).  Reported alongside the residual so a
+    high f32-floor residual (e.g. the FMG row, normalized by its already
+    tiny post-FMG r0) cannot read as a solve failure: the discrete error
+    is the quantity the PDE solve exists to reduce."""
+    from multigrid_petsc_tpu.mesh import MeshType
+    from multigrid_petsc_tpu.postprocess import error_norms
+
+    emax, el1, el2 = error_norms(
+        res.ctx.problem, MeshType(cfg.mesh), np.asarray(res.u[0], np.float64)
+    )
+    return {"error_max": emax, "error_l1": el1, "error_l2": el2}
+
+
 def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
                certify: bool = True) -> dict:
     rec: dict = {"name": name, "npts": cfg.npts, "cycle": cfg.cycle.name,
@@ -265,6 +286,12 @@ def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
         # measured_pallas_bandwidth): how close the solve runs to what any
         # pallas kernel path can reach on this runtime.
         "kernel_path_fraction": achieved / measured_pallas_bandwidth(),
+        # Certification of WHAT the f32 record achieved, independent of
+        # the (possibly FMG-renormalized) recursion history: the true f64
+        # residual of the returned iterate + the reference's eData error
+        # norms (src/solver.c:1211-1237).
+        "true_f64_rel_residual": true_residual_f64(res, cfg),
+        **discrete_errors(res, cfg),
     }
 
     # --- mixed-precision certification to 1e-8 ---------------------------
@@ -376,7 +403,7 @@ def build_suite(chip: str):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/results/baseline_latest.json")
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     args = ap.parse_args()
     which = {int(s) for s in args.configs.split(",")}
 

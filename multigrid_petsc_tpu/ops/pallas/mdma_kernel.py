@@ -1,0 +1,866 @@
+"""Manual-DMA fused visit kernels (round 4).
+
+Why these exist: the BlockSpec auto-pipelined visit kernels measure as
+*additive* DMA + VPU (no overlap), on top of a fresh-output streaming
+rate of ~0.5x the XLA triad (probe_dma.py, probe_attribution_r04.txt).
+A manual in-kernel double-buffered DMA loop streams at ~0.91x triad on
+the same runtime, and with explicit start/compute/wait scheduling the
+stencil compute overlaps the copies by construction.  These kernels
+re-implement the fused-CG fine-level visits in that regime:
+
+  * inputs/outputs live in HBM (``pl.ANY``); each sequential grid step
+    copies its halo-extended row window in and its result blocks out
+    through double-buffered VMEM scratch,
+  * the halo rides IN the window (offset DMA) — no separately gathered
+    halo-window arrays at all,
+  * block i's compute runs while block i+1's window is in flight.
+
+**Lane padding.**  Mosaic rejects HBM row-slices (static or dynamic) on
+arrays whose LANE dimension is not a multiple of 128 ("failed to prove a
+tile index divisible" — bisected in /tmp offset tests, round 4), so the
+(2^m - 1)-wide solver arrays are carried lane-padded to ``lane_pad(nx)``
+columns on this path.  The pad columns hold zeros — which IS the
+eliminated-Dirichlet east boundary, so ``shift_e`` semantics come for
+free — and every kernel masks its stores with the (row, lane) inside
+predicate so the pads stay exactly zero through the whole CG loop.
+
+DMA geometry: halo fixed at H = 8 rows (>= k+2 for k <= 6 sweeps);
+tiles are multiples of 16, so every slice offset (i*t - H, i*t, i*t/2)
+is 8-row aligned.  Block 0 reads [0, t2) and realigns in VMEM with a
+``pltpu.roll``; the last block reads a short window (static branch);
+``mdma_viable`` requires the last block to hold >= 17 rows so no other
+block's window overruns the array.
+
+Numerics: identical step bodies and masks as ``stencil_kernel``'s
+auto-pipelined kernels (interpret-mode parity is exact); only data
+movement differs.  Reference analogue: these replace the per-level
+smoother + residual + transfer MatMult chain of the reference's inner
+KSPSolve (/root/reference/src/solver.c:1516-1550).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multigrid_petsc_tpu.ops.stencil import Stencil5
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+    _coeff_cols,
+    _compute_dtype,
+    _shift_e,
+    _shift_w,
+    _x64_scope,
+)
+
+H = 8  # fixed halo rows
+
+
+def lane_pad(nx: int) -> int:
+    """Padded lane count (multiple of 128) the mdma path carries."""
+    return ((nx + 127) // 128) * 128
+
+
+def shape_pad(ny: int, nx: int) -> tuple[int, int]:
+    """The (rows, lanes) the mdma path carries a logical (ny, nx) array
+    as: rows to a multiple of 8, lanes to a multiple of 128 — every DMA
+    window/length is then 8-aligned AND in logical bounds.  Pad rows and
+    columns hold zeros (the eliminated Dirichlet boundary) and every
+    kernel's inside mask keeps them zero."""
+    return ((ny + 7) // 8) * 8, lane_pad(nx)
+
+
+def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int,
+                    cap: int = 128) -> int:
+    """Row tile (multiple of 16) keeping ``slabs`` double-buffered
+    (t+2H, nx_p)-ish buffers plus ~10 compute temporaries inside ~90MB."""
+    row_b = max(1, nx_p) * itemsize
+    budget = 90 * 2**20
+    t = budget // ((2 * slabs + 10) * row_b) - 2 * H
+    t = max(16, min(cap, (t // 16) * 16))
+    return t
+
+
+def mdma_viable(ny: int, nx: int, sweeps: int, dtype) -> bool:
+    """Shape/sweep envelope of the manual-DMA visits."""
+    if sweeps + 2 > H or ny % 2 == 0 or nx % 2 == 0:
+        return False
+    t = _pick_tile_mdma(lane_pad(nx), jnp.dtype(dtype).itemsize, slabs=5)
+    g = (ny + t - 1) // t
+    # Last block holds >= 17 rows: every other block's (t+2H)-row window
+    # and every coarse-correction window then stays inside the array.
+    return g >= 3 and ny >= t + 2 * H and ny - (g - 1) * t >= 2 * H + 1
+
+
+def _aligned(x):
+    return pl.multiple_of(x, 8)
+
+
+def _ceil8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _in_sched(hbm, buf, sems, sidx, *, stride, halo, n_src, t_len, g):
+    """(start, wait) closures for one input's halo-windowed in-DMA.
+
+    Window i = [i*stride - halo, i*stride + t_len + halo), clamped at 0
+    for block 0 (realigned in VMEM by the caller) and shortened for the
+    last block.  ``halo=0`` degenerates to exact blocks.
+
+    Compiled Mosaic requires 8-multiple slice LENGTHS too; the short
+    last-block length is rounded up — the over-read lands in the HBM
+    memref's own (8,128) tile padding (rows [n_src, ceil8(n_src)), part
+    of this array's allocation) and is masked by the caller's ``inside``
+    predicate.  Interpret mode (``exact=True``) has no physical padding,
+    so it keeps the exact length."""
+    last_lo = (g - 1) * stride - halo
+    last_len = _ceil8(n_src - last_lo)  # in-bounds: arrays are row-padded
+    full_len = t_len + 2 * halo
+
+    def dma(slot, blk, full):
+        if full:
+            src = _aligned(jnp.maximum(blk * stride - halo, 0))
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(src, full_len)], buf.at[slot],
+                sems.at[slot, sidx])
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(last_lo, last_len)],
+            buf.at[slot, pl.ds(0, last_len)],
+            sems.at[slot, sidx])
+
+    def start(slot, blk):
+        @pl.when(blk < g - 1)
+        def _():
+            dma(slot, blk, True).start()
+
+        @pl.when(blk == g - 1)
+        def _():
+            dma(slot, blk, False).start()
+
+    def wait(slot, blk):
+        @pl.when(blk < g - 1)
+        def _():
+            dma(slot, blk, True).wait()
+
+        @pl.when(blk == g - 1)
+        def _():
+            dma(slot, blk, False).wait()
+
+    return start, wait
+
+
+def _out_sched(buf, hbm, sems, sidx, *, stride, n_dst, g):
+    """(start, wait_prev, drain) closures for one output's block DMA.
+    The short last-block length is rounded up to 8 in compiled mode (the
+    extra rows land in the destination's own tile padding — logical rows
+    >= n_dst are never read back); see _in_sched."""
+    last_len = _ceil8(n_dst - (g - 1) * stride)
+
+    def dma(slot, blk, full):
+        rows = stride if full else last_len
+        return pltpu.make_async_copy(
+            buf.at[slot, pl.ds(0, rows)],
+            hbm.at[pl.ds(_aligned(blk * stride), rows)],
+            sems.at[slot, sidx])
+
+    def start(slot, blk):
+        @pl.when(blk < g - 1)
+        def _():
+            dma(slot, blk, True).start()
+
+        @pl.when(blk == g - 1)
+        def _():
+            dma(slot, blk, False).start()
+
+    def wait_prev(slot, blk):
+        # Mid-pipeline waits only ever target non-last blocks.
+        dma(slot, blk, True).wait()
+
+    def drain(slot_last):
+        dma(1 - slot_last, g - 2, True).wait()
+        dma(slot_last, g - 1, False).wait()
+
+    return start, wait_prev, drain
+
+
+def _apply5(c_ref, v):
+    cs = c_ref[0, 0]
+    cw = c_ref[0, 1]
+    cc = c_ref[0, 2]
+    ce = c_ref[0, 3]
+    cn = c_ref[0, 4]
+    south = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+    north = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+    return (cc * v + cs * south + cn * north
+            + cw * _shift_w(v) + ce * _shift_e(v))
+
+
+def _coeff_slabs(st, ny, t, g, dtype):
+    cols = jnp.concatenate(
+        [c.reshape(1, -1) for c in _coeff_cols(st, ny, dtype)], axis=0)
+    t2 = t + 2 * H
+    idx = jnp.asarray(np.clip(
+        (np.arange(g) * t - H)[:, None] + np.arange(t2)[None, :], 0, ny - 1))
+    return cols[:, idx].transpose(1, 0, 2)[..., None]  # (g, 5, t2, 1)
+
+
+def _inside(i, t, ny, nx, shape, halo=H):
+    grow = (i.astype(jnp.int32) * jnp.int32(t) - jnp.int32(halo)
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+            & (lane < jnp.int32(nx)))
+
+
+# --------------------------------------------------------------------------
+# Kernel 1: fused CG residual update + zero-guess down visit.
+#   (r, ap, alpha) -> u0 = smooth_k(b=r', 0), R_y(r' - A u0), r' = r-a*ap,
+#   per-block ||r'||^2 partials.  r -> r', ap -> u0 donated.
+# --------------------------------------------------------------------------
+
+
+def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc):
+    t2 = t + 2 * H
+
+    def kernel(c_ref, alpha_ref, r_hbm, ap_hbm,
+               u_hbm, rc_hbm, rn_hbm, nrm_ref,
+               rbuf, apbuf, ubuf, rcbuf, rnbuf, in_sems, out_sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        r_start, r_wait = _in_sched(r_hbm, rbuf, in_sems, 0,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        a_start, a_wait = _in_sched(ap_hbm, apbuf, in_sems, 1,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait, u_drain = _out_sched(ubuf, u_hbm, out_sems, 0,
+                                              stride=t, n_dst=ny, g=g)
+        c_start, c_wait, c_drain = _out_sched(rcbuf, rc_hbm, out_sems, 1,
+                                              stride=t // 2, n_dst=nyc, g=g)
+        n_start, n_wait, n_drain = _out_sched(rnbuf, rn_hbm, out_sems, 2,
+                                              stride=t, n_dst=ny, g=g)
+
+        # Pipeline invariant: block i's windows were started and awaited
+        # by program i-1 (the donation-safety wait below); block 0
+        # bootstraps itself.  Exactly one wait per start.
+        @pl.when(i == 0)
+        def _():
+            r_start(slot, i)
+            a_start(slot, i)
+            r_wait(slot, i)
+            a_wait(slot, i)
+
+        @pl.when(i + 1 < g)
+        def _():
+            r_start(nxt, i + 1)
+            a_start(nxt, i + 1)
+
+        # Block 0 read from row 0 (not -H): realign in VMEM.
+        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
+        r = pltpu.roll(rbuf[slot], shift, 0)
+        ap = pltpu.roll(apbuf[slot], shift, 0)
+        if r.dtype == jnp.bfloat16:
+            r = r.astype(jnp.float32)
+            ap = ap.astype(jnp.float32)
+
+        inside = _inside(i, t, ny, nx, r.shape)
+        alpha = alpha_ref[0, 0]
+        b = jnp.where(inside, r - alpha * ap, 0.0)
+
+        dinv = 1.0 / c_ref[0, 2]
+        u = jnp.zeros_like(b)
+        p = jnp.zeros_like(b)
+        first = True
+        for (alpha_s, beta_s) in steps:
+            z = dinv * b if first else dinv * (b - _apply5(c_ref, u))
+            first = False
+            p = beta_s * p + alpha_s * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        b_mid = b[H : H + t]
+        nrm_ref[i, 0] = jnp.sum(b_mid * b_mid)
+        rr = b - _apply5(c_ref, u)
+        v = rr[H : H + t].reshape(t // 2, 2, rr.shape[-1])
+        ev, od = v[:, 0], v[:, 1]
+        ev_next = jnp.concatenate([ev[1:], rr[H + t : H + t + 1]], axis=0)
+        rc_y = ev + 2.0 * od + ev_next
+
+        @pl.when(i >= 2)
+        def _():
+            u_wait(slot, i - 2)
+            c_wait(slot, i - 2)
+            n_wait(slot, i - 2)
+
+        ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
+        rnbuf[slot] = b_mid.astype(rnbuf.dtype)
+        rcbuf[slot] = rc_y.astype(rcbuf.dtype)
+
+        # Donation safety: block i's out rows overlap block i+1's input
+        # window tail — that prefetch must land before the out-DMA.
+        @pl.when(i + 1 < g)
+        def _():
+            r_wait(nxt, i + 1)
+            a_wait(nxt, i + 1)
+
+        u_start(slot, i)
+        c_start(slot, i)
+        n_start(slot, i)
+
+        @pl.when(i == g - 1)
+        def _():
+            u_drain(slot)
+            c_drain(slot)
+            n_drain(slot)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ny", "nx", "steps", "interpret"))
+def cg_visit_down_mdma(
+    st: Stencil5,
+    r: jnp.ndarray,
+    ap: jnp.ndarray,
+    alpha,
+    steps: tuple,
+    ny: int | None = None,
+    nx: int | None = None,
+    interpret: bool = False,
+):
+    """(u0, rc_y, r', ||r'||^2 partial-sum) on shape_pad-PADDED arrays.
+
+    ``r``/``ap`` are shape_pad(ny, nx) arrays with zero pads and are
+    DONATED (r -> r', ap -> u0).  ``rc_y`` is the (padded) half-height,
+    full-width y-restricted residual — callers run restrict_x_fw on its
+    real rows/columns.  ``ny``/``nx`` are the REAL interior dims."""
+    ny_p, nx_p = r.shape
+    ny = ny_p if ny is None else ny
+    nx = nx_p if nx is None else nx
+    k = len(steps)
+    if not mdma_viable(ny, nx, k, r.dtype):
+        raise ValueError("shape not viable for mdma visit")
+    t = _pick_tile_mdma(nx_p, jnp.dtype(r.dtype).itemsize, slabs=5)
+    g = pl.cdiv(ny, t)
+    nyc = (ny - 1) // 2
+    nyc_p = _ceil8(nyc)
+    t2 = t + 2 * H
+
+    c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(r.dtype))
+    cdt = _compute_dtype(r.dtype)
+    alpha_arr = jnp.full((1, 1), alpha, cdt)
+
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    nrm_spec = pl.BlockSpec((g, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    with _x64_scope(r.dtype):
+        u0, rc_y, r_new, nrm = pl.pallas_call(
+            _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc),
+            grid=(g,),
+            in_specs=[coeff, smem1, any_spec, any_spec],
+            out_specs=[any_spec, any_spec, any_spec, nrm_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),   # u0
+                jax.ShapeDtypeStruct((nyc_p, nx_p), r.dtype),  # rc_y
+                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),   # r'
+                jax.ShapeDtypeStruct((g, 1), cdt),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, t2, nx_p), r.dtype),
+                pltpu.VMEM((2, t2, nx_p), r.dtype),
+                pltpu.VMEM((2, t, nx_p), r.dtype),
+                pltpu.VMEM((2, t // 2, nx_p), r.dtype),
+                pltpu.VMEM((2, t, nx_p), r.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            input_output_aliases={3: 0, 2: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(c_slabs, alpha_arr, r, ap)
+    return u0, rc_y, r_new, jnp.sum(nrm)
+
+
+# --------------------------------------------------------------------------
+# Kernel 1b: plain zero-guess down visit (no CG update): the mid-hierarchy
+# down leg.  (b) -> u0 = smooth_k(b, 0), R_y(b - A u0).
+# --------------------------------------------------------------------------
+
+
+def _down_kernel(ny, nx, nx_p, t, g, steps, nyc):
+    t2 = t + 2 * H
+
+    def kernel(c_ref, b_hbm, u_hbm, rc_hbm,
+               bbuf, ubuf, rcbuf, in_sems, out_sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait, u_drain = _out_sched(ubuf, u_hbm, out_sems, 0,
+                                              stride=t, n_dst=ny, g=g)
+        c_start, c_wait, c_drain = _out_sched(rcbuf, rc_hbm, out_sems, 1,
+                                              stride=t // 2, n_dst=nyc, g=g)
+
+        @pl.when(i == 0)
+        def _():
+            b_start(slot, i)
+            b_wait(slot, i)
+
+        @pl.when(i + 1 < g)
+        def _():
+            b_start(nxt, i + 1)
+
+        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
+        b = pltpu.roll(bbuf[slot], shift, 0)
+        if b.dtype == jnp.bfloat16:
+            b = b.astype(jnp.float32)
+        inside = _inside(i, t, ny, nx, b.shape)
+        b = jnp.where(inside, b, 0.0)
+
+        dinv = 1.0 / c_ref[0, 2]
+        u = jnp.zeros_like(b)
+        p = jnp.zeros_like(b)
+        first = True
+        for (alpha_s, beta_s) in steps:
+            z = dinv * b if first else dinv * (b - _apply5(c_ref, u))
+            first = False
+            p = beta_s * p + alpha_s * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        rr = b - _apply5(c_ref, u)
+        v = rr[H : H + t].reshape(t // 2, 2, rr.shape[-1])
+        ev, od = v[:, 0], v[:, 1]
+        ev_next = jnp.concatenate([ev[1:], rr[H + t : H + t + 1]], axis=0)
+        rc_y = ev + 2.0 * od + ev_next
+
+        @pl.when(i >= 2)
+        def _():
+            u_wait(slot, i - 2)
+            c_wait(slot, i - 2)
+
+        ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
+        rcbuf[slot] = rc_y.astype(rcbuf.dtype)
+
+        # b is not donated here, but keep the prefetch-before-out order
+        # anyway (uniform pipeline; the wait pairs each start exactly once).
+        @pl.when(i + 1 < g)
+        def _():
+            b_wait(nxt, i + 1)
+
+        u_start(slot, i)
+        c_start(slot, i)
+
+        @pl.when(i == g - 1)
+        def _():
+            u_drain(slot)
+            c_drain(slot)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ny", "nx", "steps", "interpret"))
+def visit_down_mdma(
+    st: Stencil5,
+    b: jnp.ndarray,
+    steps: tuple,
+    ny: int | None = None,
+    nx: int | None = None,
+    interpret: bool = False,
+):
+    """(u0, rc_y): the zero-guess down visit on a shape_pad-PADDED b —
+    the mid-hierarchy down leg (every level below the finest smooths
+    from zero; reference src/solver.c:1533-1538)."""
+    ny_p, nx_p = b.shape
+    ny = ny_p if ny is None else ny
+    nx = nx_p if nx is None else nx
+    k = len(steps)
+    if not mdma_viable(ny, nx, k, b.dtype):
+        raise ValueError("shape not viable for mdma visit")
+    t = _pick_tile_mdma(nx_p, jnp.dtype(b.dtype).itemsize, slabs=4)
+    g = pl.cdiv(ny, t)
+    nyc = (ny - 1) // 2
+    nyc_p = _ceil8(nyc)
+    t2 = t + 2 * H
+
+    c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(b.dtype))
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    with _x64_scope(b.dtype):
+        u0, rc_y = pl.pallas_call(
+            _down_kernel(ny, nx, nx_p, t, g, steps, nyc),
+            grid=(g,),
+            in_specs=[coeff, any_spec],
+            out_specs=[any_spec, any_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny_p, nx_p), b.dtype),
+                jax.ShapeDtypeStruct((nyc_p, nx_p), b.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, t2, nx_p), b.dtype),
+                pltpu.VMEM((2, t, nx_p), b.dtype),
+                pltpu.VMEM((2, t // 2, nx_p), b.dtype),
+                pltpu.SemaphoreType.DMA((2, 1)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(c_slabs, b)
+    return u0, rc_y
+
+
+# --------------------------------------------------------------------------
+# Kernel 2: up visit with in-kernel coarse correction + <b, u''> emission.
+#   (b, u, e_x) -> z = smooth_k(b, u + P_y e_x), <b, z> partials.
+#   u -> z donated.  e_x is the x-prolonged correction (nyc, nx_p).
+# --------------------------------------------------------------------------
+
+
+def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot):
+    t2 = t + 2 * H
+    s = t // 2
+
+    def kernel(c_ref, b_hbm, u_hbm, e_hbm, z_hbm, *rest):
+        if emit_dot:
+            dot_ref = rest[0]
+            bufs = rest[1:]
+        else:
+            bufs = rest
+        bbuf, ubuf, ebuf, zbuf, in_sems, out_sems = bufs
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait = _in_sched(u_hbm, ubuf, in_sems, 1,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        e_start, e_wait = _in_sched(e_hbm, ebuf, in_sems, 2,
+                                    stride=s, halo=H, n_src=nyc, t_len=s,
+                                    g=g)
+        z_start, z_wait, z_drain = _out_sched(zbuf, z_hbm, out_sems, 0,
+                                              stride=t, n_dst=ny, g=g)
+
+        @pl.when(i == 0)
+        def _():
+            b_start(slot, i)
+            u_start(slot, i)
+            e_start(slot, i)
+            b_wait(slot, i)
+            u_wait(slot, i)
+            e_wait(slot, i)
+
+        @pl.when(i + 1 < g)
+        def _():
+            b_start(nxt, i + 1)
+            u_start(nxt, i + 1)
+            e_start(nxt, i + 1)
+
+        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
+        eshift = _aligned(jnp.maximum(i * s - H, 0)) - (i * s - H)
+        b = pltpu.roll(bbuf[slot], shift, 0)
+        u = pltpu.roll(ubuf[slot], shift, 0)
+        e = pltpu.roll(ebuf[slot], eshift, 0)
+        if b.dtype == jnp.bfloat16:
+            b = b.astype(jnp.float32)
+            u = u.astype(jnp.float32)
+            e = e.astype(jnp.float32)
+
+        inside = _inside(i, t, ny, nx, b.shape)
+        b = jnp.where(inside, b, 0.0)
+        u = jnp.where(inside, u, 0.0)
+        # Coarse rows of the e slab: global row i*s - H + j.
+        e_inside = _inside(i, s, nyc, nx, e.shape)
+        e = jnp.where(e_inside, e, 0.0)
+
+        # y-half of the bilinear prolongation.  Fine slab row j is global
+        # i*t - H + j (even offset), so pairs (2m, 2m+1) map to coarse
+        # slab rows (m + H/2 - 1, m + H/2) / (m + H/2):
+        #   even fine row 2m  -> 0.5*(e[m + H/2 - 1] + e[m + H/2])
+        #   odd  fine row 2m+1 ->      e[m + H/2]
+        es = e[H // 2 - 1 : H // 2 - 1 + t2 // 2 + 1]
+        prev, cur = es[:-1], es[1:]
+        pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
+        u = jnp.where(inside, u + pe.reshape(t2, pe.shape[-1]), 0.0)
+
+        dinv = 1.0 / c_ref[0, 2]
+        p = jnp.zeros_like(u)
+        for (alpha_s, beta_s) in steps:
+            z = dinv * (b - _apply5(c_ref, u))
+            p = beta_s * p + alpha_s * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        u_mid = u[H : H + t]
+        if emit_dot:
+            dot_ref[i, 0] = jnp.sum(b[H : H + t] * u_mid)
+
+        @pl.when(i >= 2)
+        def _():
+            z_wait(slot, i - 2)
+
+        zbuf[slot] = u_mid.astype(zbuf.dtype)
+
+        @pl.when(i + 1 < g)
+        def _():
+            b_wait(nxt, i + 1)
+            u_wait(nxt, i + 1)
+            e_wait(nxt, i + 1)
+
+        z_start(slot, i)
+
+        @pl.when(i == g - 1)
+        def _():
+            z_drain(slot)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ny", "nx", "steps", "emit_dot",
+                                    "interpret"))
+def visit_up_mdma(
+    st: Stencil5,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    e_x: jnp.ndarray,
+    steps: tuple,
+    ny: int | None = None,
+    nx: int | None = None,
+    emit_dot: bool = True,
+    interpret: bool = False,
+):
+    """z = smooth_k(b, u + P_y e_x) [, <b, z>] on shape_pad-PADDED
+    arrays.  ``u`` is DONATED (u -> z); ``e_x`` is the x-prolonged
+    coarse correction, shape_pad(nyc, nx), with zero pads."""
+    ny_p, nx_p = b.shape
+    ny = ny_p if ny is None else ny
+    nx = nx_p if nx is None else nx
+    k = len(steps)
+    if not mdma_viable(ny, nx, k, b.dtype):
+        raise ValueError("shape not viable for mdma visit")
+    t = _pick_tile_mdma(nx_p, jnp.dtype(b.dtype).itemsize, slabs=5)
+    g = pl.cdiv(ny, t)
+    nyc = (ny - 1) // 2
+    t2 = t + 2 * H
+
+    c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(b.dtype))
+    cdt = _compute_dtype(b.dtype)
+
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = [any_spec]
+    out_shape = [jax.ShapeDtypeStruct((ny_p, nx_p), b.dtype)]
+    if emit_dot:
+        out_specs.append(pl.BlockSpec((g, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((g, 1), cdt))
+
+    with _x64_scope(b.dtype):
+        out = pl.pallas_call(
+            _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot),
+            grid=(g,),
+            in_specs=[coeff, any_spec, any_spec, any_spec],
+            out_specs=out_specs if emit_dot else out_specs[0],
+            out_shape=out_shape if emit_dot else out_shape[0],
+            scratch_shapes=[
+                pltpu.VMEM((2, t2, nx_p), b.dtype),       # b windows
+                pltpu.VMEM((2, t2, nx_p), b.dtype),       # u windows
+                pltpu.VMEM((2, t // 2 + 2 * H, nx_p), b.dtype),  # e windows
+                pltpu.VMEM((2, t, nx_p), b.dtype),        # z staging
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2, 1)),
+            ],
+            input_output_aliases={2: 0},  # u -> z
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(c_slabs, b, u, e_x)
+    if emit_dot:
+        z, dots = out
+        return z, jnp.sum(dots)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Kernel 3: CG direction step + LAGGED solution update.
+#   (z, p, u, alpha_prev, beta) ->
+#       u' = u + alpha_prev * p          (the previous iteration's axpy)
+#       p' = z + beta * p;  ap = A p';  <p', ap> partials
+#   z -> ap, p -> p', u -> u' donated.  Folding the axpy here removes the
+#   separate 3-pass XLA update from the loop (callers flush the final
+#   u += alpha * p once after the loop).
+# --------------------------------------------------------------------------
+
+
+def _papply_kernel(ny, nx, nx_p, t, g):
+    t2 = t + 2 * H
+
+    def kernel(c_ref, sc_ref, z_hbm, p_hbm, u_hbm,
+               pn_hbm, ap_hbm, un_hbm, dot_ref,
+               zbuf, pbuf, ubuf, pnbuf, apbuf, unbuf, in_sems, out_sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        z_start, z_wait = _in_sched(z_hbm, zbuf, in_sems, 0,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        p_start, p_wait = _in_sched(p_hbm, pbuf, in_sems, 1,
+                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait = _in_sched(u_hbm, ubuf, in_sems, 2,
+                                    stride=t, halo=0, n_src=ny, t_len=t, g=g)
+        pn_s, pn_w, pn_d = _out_sched(pnbuf, pn_hbm, out_sems, 0,
+                                      stride=t, n_dst=ny, g=g)
+        ap_s, ap_w, ap_d = _out_sched(apbuf, ap_hbm, out_sems, 1,
+                                      stride=t, n_dst=ny, g=g)
+        un_s, un_w, un_d = _out_sched(unbuf, un_hbm, out_sems, 2,
+                                      stride=t, n_dst=ny, g=g)
+
+        @pl.when(i == 0)
+        def _():
+            z_start(slot, i)
+            p_start(slot, i)
+            u_start(slot, i)
+            z_wait(slot, i)
+            p_wait(slot, i)
+            u_wait(slot, i)
+
+        @pl.when(i + 1 < g)
+        def _():
+            z_start(nxt, i + 1)
+            p_start(nxt, i + 1)
+            u_start(nxt, i + 1)
+
+        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
+        z = pltpu.roll(zbuf[slot], shift, 0)
+        p = pltpu.roll(pbuf[slot], shift, 0)
+        uu = ubuf[slot]
+        if z.dtype == jnp.bfloat16:
+            z = z.astype(jnp.float32)
+            p = p.astype(jnp.float32)
+            uu = uu.astype(jnp.float32)
+
+        alpha_prev = sc_ref[0, 0]
+        beta = sc_ref[0, 1]
+        inside = _inside(i, t, ny, nx, z.shape)
+        pn = jnp.where(inside, z + beta * p, 0.0)
+        ap = jnp.where(inside, _apply5(c_ref, pn), 0.0)
+
+        pn_mid = pn[H : H + t]
+        ap_mid = ap[H : H + t]
+        un = uu + alpha_prev * p[H : H + t]
+        dot_ref[i, 0] = jnp.sum(pn_mid * ap_mid)
+
+        @pl.when(i >= 2)
+        def _():
+            pn_w(slot, i - 2)
+            ap_w(slot, i - 2)
+            un_w(slot, i - 2)
+
+        pnbuf[slot] = pn_mid.astype(pnbuf.dtype)
+        apbuf[slot] = ap_mid.astype(apbuf.dtype)
+        unbuf[slot] = un.astype(unbuf.dtype)
+
+        @pl.when(i + 1 < g)
+        def _():
+            z_wait(nxt, i + 1)
+            p_wait(nxt, i + 1)
+            u_wait(nxt, i + 1)
+
+        pn_s(slot, i)
+        ap_s(slot, i)
+        un_s(slot, i)
+
+        @pl.when(i == g - 1)
+        def _():
+            pn_d(slot)
+            ap_d(slot)
+            un_d(slot)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "interpret"))
+def cg_papply_u_mdma(
+    st: Stencil5,
+    z: jnp.ndarray,
+    p: jnp.ndarray,
+    u: jnp.ndarray,
+    alpha_prev,
+    beta,
+    ny: int | None = None,
+    nx: int | None = None,
+    interpret: bool = False,
+):
+    """(p', A p', u + alpha_prev*p, <p', A p'>) on shape_pad-PADDED
+    arrays.  ``z``/``p``/``u`` are DONATED (z -> ap, p -> p', u -> u')."""
+    ny_p, nx_p = z.shape
+    ny = ny_p if ny is None else ny
+    nx = nx_p if nx is None else nx
+    if not mdma_viable(ny, nx, 1, z.dtype):
+        raise ValueError("shape not viable for mdma papply")
+    t = _pick_tile_mdma(nx_p, jnp.dtype(z.dtype).itemsize, slabs=6)
+    g = pl.cdiv(ny, t)
+    t2 = t + 2 * H
+
+    c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(z.dtype))
+    cdt = _compute_dtype(z.dtype)
+    sc = jnp.stack([jnp.asarray(alpha_prev, cdt),
+                    jnp.asarray(beta, cdt)]).reshape(1, 2)
+
+    coeff = pl.BlockSpec((1, 5, t2, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    smem2 = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dot_spec = pl.BlockSpec((g, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    with _x64_scope(z.dtype):
+        pn, ap, un, dots = pl.pallas_call(
+            _papply_kernel(ny, nx, nx_p, t, g),
+            grid=(g,),
+            in_specs=[coeff, smem2, any_spec, any_spec, any_spec],
+            out_specs=[any_spec, any_spec, any_spec, dot_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((ny_p, nx_p), z.dtype),   # p'
+                jax.ShapeDtypeStruct((ny_p, nx_p), z.dtype),   # ap
+                jax.ShapeDtypeStruct((ny_p, nx_p), z.dtype),   # u'
+                jax.ShapeDtypeStruct((g, 1), cdt),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, t2, nx_p), z.dtype),
+                pltpu.VMEM((2, t2, nx_p), z.dtype),
+                pltpu.VMEM((2, t, nx_p), z.dtype),
+                pltpu.VMEM((2, t, nx_p), z.dtype),
+                pltpu.VMEM((2, t, nx_p), z.dtype),
+                pltpu.VMEM((2, t, nx_p), z.dtype),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            input_output_aliases={3: 0, 2: 1, 4: 2},  # p->p', z->ap, u->u'
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 2**20,
+            ),
+            interpret=interpret,
+        )(c_slabs, sc, z, p, u)
+    return pn, ap, un, jnp.sum(dots)

@@ -86,6 +86,11 @@ class LevelCtx:
     visit_up_dot: Callable | None = None
     papply: Callable | None = None
     cg_visit_down: Callable | None = None
+    # Manual-DMA fast path (ops.pallas.mdma_kernel): shape-viable flag +
+    # the smoother's static (alpha, beta) schedule builder; the fused CG
+    # solver routes through the lane-padded mdma kernels when set.
+    mdma_ok: bool = False
+    steps_fn: Callable | None = None
 
     @property
     def padded_shapes(self) -> list[tuple[int, int]]:
@@ -712,6 +717,12 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
         lc.visit_up_dot = visit_up_dot
         lc.papply = papply
         lc.cg_visit_down = cg_visit_down
+        lc.steps_fn = steps_fn
+        from multigrid_petsc_tpu.ops.pallas.mdma_kernel import mdma_viable
+
+        g0 = lc.spec.primary
+        lc.mdma_ok = mdma_viable(g0.ny, g0.nx, cfg.max_sweeps,
+                                 lc.dinv[0].dtype)
 
         return visit_down, visit_up
 

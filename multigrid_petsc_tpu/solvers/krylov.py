@@ -60,6 +60,18 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     # trace time otherwise).
     if (lvl0.papply is not None and ctx.precond_ctx is None
             and len(ctx.levels) > 1):
+        # Manual-DMA variant (ops.pallas.mdma_kernel): lane-padded
+        # carries, DMA/compute overlap in every fine-level kernel, and
+        # the CG axpy folded into the direction step.  Compiled TPU only
+        # (interpret-mode coverage comes from the parity tests; on CPU
+        # the explicit backend='pallas' opt-in mirrors the dist path).
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:  # pragma: no cover
+            platform = "cpu"
+        if lvl0.mdma_ok and lvl0.steps_fn is not None and (
+                platform == "tpu" or cfg.backend == "pallas"):
+            return _solve_mgcg_fused_mdma(ctx, b, interpret=platform != "tpu")
         return _solve_mgcg_fused(ctx, b)
 
     precond = _mg_precond(ctx, v0, v1)
@@ -106,6 +118,143 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     )
     return OuterResult(
         u=u,
+        rnorm_history=hist / hist[0],
+        iters=iters,
+        converged=rn <= cfg.rtol * bnorm,
+    )
+
+
+def _solve_mgcg_fused_mdma(ctx: MGContext, b: State,
+                           interpret: bool = False) -> OuterResult:
+    """PCG over the manual-DMA kernels (ops.pallas.mdma_kernel).
+
+    Algebraically identical to _solve_mgcg_fused with three changes in
+    the data plan, none in the math:
+
+      * the level-0 state (u, r, z, p) is carried LANE-PADDED to a
+        128-multiple width (Mosaic requires it for HBM row-window DMA);
+        the pad columns are the zero Dirichlet east boundary and every
+        kernel keeps them exactly zero,
+      * each fine-level kernel streams its own halo-extended row windows
+        via double-buffered in-kernel DMA overlapped with compute
+        (probe_dma.py: ~0.91x triad vs ~0.5x for the auto-pipelined
+        fresh-output path),
+      * the CG solution update u += alpha p rides the NEXT iteration's
+        direction kernel with the lagged alpha (cg_papply_u_mdma), so
+        the separate 3-pass XLA axpy disappears; the final update is
+        flushed once after the loop.
+
+    Differences from the generic path are reduction order only.
+    """
+    from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        prolong_x_bilinear,
+        restrict_x_fw,
+    )
+    from multigrid_petsc_tpu.solvers.vcycle import _cycle, _visit_sweeps
+
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    st = lvl0.stencils[0]
+    ny, nx = lvl0.spec.primary.shape
+    nyp, nxp = mdma.shape_pad(ny, nx)
+    nyc = (ny - 1) // 2
+    nycp = mdma.shape_pad(nyc, nx)[0]
+    k = _visit_sweeps(ctx, 0, v0, v1)
+    steps = lvl0.steps_fn(k)
+    max_iter, hist_len = cfg.max_iter, cfg.hist_len
+
+    def pad2(x, rows, cols):
+        rp, cp = mdma.shape_pad(rows, cols)
+        return jnp.pad(x, ((0, rp - x.shape[0]), (0, cp - x.shape[1])))
+
+    def cycle_mdma(l: int, b2d):
+        """V-cycle from level ``l`` >= 1 on an UNPADDED single-grid rhs;
+        returns the unpadded level-l solution.  Levels in the mdma shape
+        envelope run the manual-DMA visit kernels; smaller/irregular
+        levels (and the coarsest) fall back to the generic _cycle."""
+        lvl = ctx.levels[l]
+        last = l == len(ctx.levels) - 1
+        nyl, nxl = lvl.spec.primary.shape
+        kl = _visit_sweeps(ctx, l, v0, v1)
+        use = (not last and not lvl.spec.is_composite and lvl.dist is None
+               and not lvl.pad_rows and lvl.steps_fn is not None
+               and mdma.mdma_viable(nyl, nxl, kl, b2d.dtype))
+        if not use:
+            return _cycle(ctx, l, (b2d,), None, v0, v1, False)[0]
+        st_l = lvl.stencils[0]
+        steps_l = lvl.steps_fn(kl)
+        b_pad = pad2(b2d, nyl, nxl)
+        u0, rc_y = mdma.visit_down_mdma(st_l, b_pad, steps_l, ny=nyl,
+                                        nx=nxl, interpret=interpret)
+        nycl = (nyl - 1) // 2
+        rc1 = restrict_x_fw(rc_y[:nycl, :nxl])
+        b_next = ctx.restrict_rc1(l, rc1)
+        if len(b_next) == 1:
+            u_next = (cycle_mdma(l + 1, b_next[0]),)
+        else:
+            u_next = _cycle(ctx, l + 1, b_next, None, v0, v1, False)
+        e_c = ctx.prolong_half(l, u_next)
+        e_xp = pad2(prolong_x_bilinear(e_c.astype(b_pad.dtype)), nycl, nxl)
+        z = mdma.visit_up_mdma(st_l, b_pad, u0, e_xp, steps_l, ny=nyl,
+                               nx=nxl, emit_dot=False, interpret=interpret)
+        return z[:nyl, :nxl]
+
+    def precond(r_pad, ap_pad, alpha):
+        """(z, <r', z>, r', ||r'||^2) with r' = r - alpha ap and z = M r'
+        — the full preconditioner application, manual-DMA on every level
+        in the shape envelope."""
+        u0, rc_y, r_new, rn2 = mdma.cg_visit_down_mdma(
+            st, r_pad, ap_pad, alpha, steps, ny=ny, nx=nx,
+            interpret=interpret)
+        rc1 = restrict_x_fw(rc_y[:nyc, :nx])
+        b_next = ctx.restrict_rc1(0, rc1)
+        if len(b_next) == 1:
+            u_next = (cycle_mdma(1, b_next[0]),)
+        else:
+            u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
+        e_c = ctx.prolong_half(0, u_next)
+        e_xp = pad2(prolong_x_bilinear(e_c.astype(r_pad.dtype)), nyc, nx)
+        z, rz = mdma.visit_up_mdma(st, r_new, u0, e_xp, steps, ny=ny,
+                                   nx=nx, interpret=interpret)
+        return z, rz, r_new, rn2
+
+    bnorm = tree_norm2(b)
+    rn0 = bnorm  # u0 = 0 -> r0 = b exactly
+    b_p = pad2(b[0], ny, nx)
+    zero = jnp.asarray(0.0, b_p.dtype)
+    z, rz, r, _ = precond(b_p, jnp.zeros_like(b_p), zero)
+    u = jnp.zeros_like(b_p)
+    p = jnp.zeros_like(b_p)
+    hist = jnp.zeros(hist_len + 1, dtype=rn0.dtype).at[0].set(rn0)
+
+    def cond(c):
+        u, r, z, p, rz, beta, alpha_prev, i, rn, hist = c
+        return ((i < max_iter) & (cfg.divtol * bnorm > rn)
+                & (rn > cfg.rtol * bnorm))
+
+    def body(c):
+        u, r, z, p, rz, beta, alpha_prev, i, rn, hist = c
+        # z, p, u donated into (ap, p', u'); u' lags by one alpha.
+        pn, ap, u, pap = mdma.cg_papply_u_mdma(
+            st, z, p, u, alpha_prev, beta, ny=ny, nx=nx,
+            interpret=interpret)
+        p = pn
+        alpha = rz / pap
+        z, rz_new, r, rn2 = precond(r, ap, alpha)
+        rn = jnp.sqrt(rn2)
+        beta = rz_new / rz
+        hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
+        return (u, r, z, p, rz_new, beta, alpha, i + 1, rn, hist)
+
+    u, r, z, p, rz, beta, alpha_prev, iters, rn, hist = jax.lax.while_loop(
+        cond, body, (u, r, z, p, rz, zero, zero, 0, rn0, hist)
+    )
+    # Flush the lagged update: the last alpha was never applied in-loop.
+    u = u + alpha_prev * p
+    return OuterResult(
+        u=(u[:ny, :nx],),
         rnorm_history=hist / hist[0],
         iters=iters,
         converged=rn <= cfg.rtol * bnorm,

@@ -74,10 +74,19 @@ def shape_pad(ny: int, nx: int) -> tuple[int, int]:
     return ((ny + 7) // 8) * 8, lane_pad(nx)
 
 
-def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int,
+def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int = 6,
                     cap: int = 128) -> int:
     """Row tile (multiple of 16) keeping ``slabs`` double-buffered
-    (t+2H, nx_p)-ish buffers plus ~10 compute temporaries inside ~90MB."""
+    (t+2H, nx_p)-ish buffers plus ~10 compute temporaries inside ~90MB.
+
+    ALL mdma entry points use the same ``slabs=6`` (the papply kernel's
+    buffer count, the most conservative) so that the tile — and with it
+    the last-block geometry that ``mdma_viable`` certifies — is ONE value
+    per (nx, dtype).  Per-kernel slab counts previously let the gate
+    approve shapes whose actual kernels picked a different tile with a
+    <2H+1-row last block (zero-length/undefined DMA geometry); the r4
+    tile sweep showed 64-224 rows perform identically, so pinning the
+    conservative count costs nothing."""
     row_b = max(1, nx_p) * itemsize
     budget = 90 * 2**20
     t = budget // ((2 * slabs + 10) * row_b) - 2 * H
@@ -85,13 +94,29 @@ def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int,
     return t
 
 
+def _tile_geometry(ny: int, nx_p: int, itemsize: int) -> tuple[int, int]:
+    """(tile, grid) the mdma kernels actually run with."""
+    t = _pick_tile_mdma(nx_p, itemsize)
+    return t, (ny + t - 1) // t
+
+
+def _check_tile(ny: int, t: int, g: int) -> None:
+    """The invariant every kernel's DMA geometry relies on (also certified
+    by mdma_viable; asserted here so an entry point can never run with a
+    different tile than the gate checked)."""
+    last = ny - (g - 1) * t
+    if not (g >= 3 and ny >= t + 2 * H and last >= 2 * H + 1):
+        raise ValueError(
+            f"mdma tile geometry invalid: ny={ny} t={t} g={g} last={last}"
+        )
+
+
 def mdma_viable(ny: int, nx: int, sweeps: int, dtype) -> bool:
     """Shape/sweep envelope of the manual-DMA visits."""
     if sweeps + 2 > H or ny % 2 == 0 or nx % 2 == 0:
         return False
-    t = _pick_tile_mdma(lane_pad(nx), jnp.dtype(dtype).itemsize, slabs=5)
-    g = (ny + t - 1) // t
-    # Last block holds >= 17 rows: every other block's (t+2H)-row window
+    t, g = _tile_geometry(ny, lane_pad(nx), jnp.dtype(dtype).itemsize)
+    # Last block holds >= 2H+1 rows: every other block's (t+2H)-row window
     # and every coarse-correction window then stays inside the array.
     return g >= 3 and ny >= t + 2 * H and ny - (g - 1) * t >= 2 * H + 1
 
@@ -112,11 +137,11 @@ def _in_sched(hbm, buf, sems, sidx, *, stride, halo, n_src, t_len, g):
     last block.  ``halo=0`` degenerates to exact blocks.
 
     Compiled Mosaic requires 8-multiple slice LENGTHS too; the short
-    last-block length is rounded up — the over-read lands in the HBM
-    memref's own (8,128) tile padding (rows [n_src, ceil8(n_src)), part
-    of this array's allocation) and is masked by the caller's ``inside``
-    predicate.  Interpret mode (``exact=True``) has no physical padding,
-    so it keeps the exact length."""
+    last-block length is rounded up — the over-read stays in bounds only
+    because every mdma-path array is row-padded to a multiple of 8 by
+    shape_pad/pad2 (rows [n_src, ceil8(n_src)) are real allocated rows of
+    the padded array), and is masked by the caller's ``inside``
+    predicate.  Interpret mode uses the same rounded length."""
     last_lo = (g - 1) * stride - halo
     last_len = _ceil8(n_src - last_lo)  # in-bounds: arrays are row-padded
     full_len = t_len + 2 * halo
@@ -343,8 +368,8 @@ def cg_visit_down_mdma(
     k = len(steps)
     if not mdma_viable(ny, nx, k, r.dtype):
         raise ValueError("shape not viable for mdma visit")
-    t = _pick_tile_mdma(nx_p, jnp.dtype(r.dtype).itemsize, slabs=5)
-    g = pl.cdiv(ny, t)
+    t, g = _tile_geometry(ny, nx_p, jnp.dtype(r.dtype).itemsize)
+    _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
     nyc_p = _ceil8(nyc)
     t2 = t + 2 * H
@@ -489,8 +514,8 @@ def visit_down_mdma(
     k = len(steps)
     if not mdma_viable(ny, nx, k, b.dtype):
         raise ValueError("shape not viable for mdma visit")
-    t = _pick_tile_mdma(nx_p, jnp.dtype(b.dtype).itemsize, slabs=4)
-    g = pl.cdiv(ny, t)
+    t, g = _tile_geometry(ny, nx_p, jnp.dtype(b.dtype).itemsize)
+    _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
     nyc_p = _ceil8(nyc)
     t2 = t + 2 * H
@@ -655,8 +680,8 @@ def visit_up_mdma(
     k = len(steps)
     if not mdma_viable(ny, nx, k, b.dtype):
         raise ValueError("shape not viable for mdma visit")
-    t = _pick_tile_mdma(nx_p, jnp.dtype(b.dtype).itemsize, slabs=5)
-    g = pl.cdiv(ny, t)
+    t, g = _tile_geometry(ny, nx_p, jnp.dtype(b.dtype).itemsize)
+    _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
     t2 = t + 2 * H
 
@@ -767,7 +792,11 @@ def _papply_kernel(ny, nx, nx_p, t, g):
 
         pn_mid = pn[H : H + t]
         ap_mid = ap[H : H + t]
-        un = uu + alpha_prev * p[H : H + t]
+        # Mask the lagged solution update too: the last block's ubuf rows
+        # beyond the loaded length hold stale VMEM — unmasked they'd write
+        # garbage into u's row-pad region and break the zero-pad invariant.
+        un = jnp.where(inside[H : H + t],
+                       uu + alpha_prev * p[H : H + t], 0.0)
         dot_ref[i, 0] = jnp.sum(pn_mid * ap_mid)
 
         @pl.when(i >= 2)
@@ -818,8 +847,8 @@ def cg_papply_u_mdma(
     nx = nx_p if nx is None else nx
     if not mdma_viable(ny, nx, 1, z.dtype):
         raise ValueError("shape not viable for mdma papply")
-    t = _pick_tile_mdma(nx_p, jnp.dtype(z.dtype).itemsize, slabs=6)
-    g = pl.cdiv(ny, t)
+    t, g = _tile_geometry(ny, nx_p, jnp.dtype(z.dtype).itemsize)
+    _check_tile(ny, t, g)
     t2 = t + 2 * H
 
     c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(z.dtype))

@@ -193,6 +193,26 @@ class MGContext:
     # their V-cycle preconditioner through — half the HBM bytes per
     # preconditioner application; outer accuracy is unaffected.
     precond_ctx: "MGContext | None" = None
+    # Which solver fast path actually ran, set at the routing decision
+    # (solvers/krylov.solve_mgcg and SolveResult.path): one of
+    # "mdma" | "fused" | "generic" | "dist" | "sparse" | "xla".  The
+    # always-on KSPView analogue — the reference tells its user exactly
+    # what ran (src/solver.c:1560-1564); a silent routing change must be
+    # visible in results and CI (bench.py asserts the expected path).
+    solver_path: str | None = None
+
+    @property
+    def default_path(self) -> str:
+        """Routing description derived from the level-0 operator wiring
+        (used when no driver recorded a more specific choice)."""
+        lvl0 = self.levels[0]
+        if lvl0.dist is not None:
+            return "dist"
+        if lvl0.sparse_full is not None:
+            return "sparse"
+        if lvl0.use_pallas_apply:
+            return "fused"
+        return "xla"
 
     # -- inter-level transfers (reference: src/solver.c:1035-1154 Res/Pro) --
     # Pad handling: distributed-Pallas levels carry one extra zero row (see

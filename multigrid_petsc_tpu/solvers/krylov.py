@@ -71,9 +71,12 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
             platform = "cpu"
         if lvl0.mdma_ok and lvl0.steps_fn is not None and (
                 platform == "tpu" or cfg.backend == "pallas"):
+            ctx.solver_path = "mdma"
             return _solve_mgcg_fused_mdma(ctx, b, interpret=platform != "tpu")
+        ctx.solver_path = "fused"
         return _solve_mgcg_fused(ctx, b)
 
+    ctx.solver_path = "generic"
     precond = _mg_precond(ctx, v0, v1)
     # A reduced-precision preconditioner is only approximately symmetric/
     # constant; plain PCG's Fletcher-Reeves beta loses conjugacy there

@@ -32,6 +32,11 @@ class SolveResult:
     ctx: MGContext
     aux: dict | None = None  # moreNorm monitor arrays etc.
     phases: dict | None = None  # per-phase wall seconds (compile/solve)
+    # Which solver fast path ran: "mdma" | "fused" | "generic" | "dist" |
+    # "sparse" | "xla" — the always-on KSPView analogue (reference
+    # src/solver.c:1560-1564); bench.py asserts the expected value so a
+    # silent routing change flips the bench red.
+    path: str = "xla"
 
     @property
     def u_fine(self) -> np.ndarray:
@@ -239,4 +244,8 @@ def solve(
         ctx=ctx,
         aux=aux,
         phases=phases,
+        # The driver records its routing decision on the context at trace
+        # time (solvers/krylov.solve_mgcg); other drivers derive it from
+        # the level-0 operator wiring.
+        path=ctx.solver_path or ctx.default_path,
     )

@@ -95,9 +95,19 @@ def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int = 6,
 
 
 def _tile_geometry(ny: int, nx_p: int, itemsize: int) -> tuple[int, int]:
-    """(tile, grid) the mdma kernels actually run with."""
-    t = _pick_tile_mdma(nx_p, itemsize)
-    return t, (ny + t - 1) // t
+    """(tile, grid) the mdma kernels actually run with.
+
+    Scans downward from the VMEM-budget tile to the largest 16-multiple
+    whose LAST block still holds >= 2H+1 rows (the invariant every DMA
+    window relies on); e.g. ny=8191 rejects t=112 (15-row last block) and
+    lands on t=96.  Returns (0, 0) when no tile works — mdma_viable then
+    reports the shape as out of envelope."""
+    t_max = _pick_tile_mdma(nx_p, itemsize)
+    for t in range(t_max, 15, -16):
+        g = (ny + t - 1) // t
+        if g >= 3 and ny >= t + 2 * H and ny - (g - 1) * t >= 2 * H + 1:
+            return t, g
+    return 0, 0
 
 
 def _check_tile(ny: int, t: int, g: int) -> None:
@@ -115,10 +125,12 @@ def mdma_viable(ny: int, nx: int, sweeps: int, dtype) -> bool:
     """Shape/sweep envelope of the manual-DMA visits."""
     if sweeps + 2 > H or ny % 2 == 0 or nx % 2 == 0:
         return False
-    t, g = _tile_geometry(ny, lane_pad(nx), jnp.dtype(dtype).itemsize)
-    # Last block holds >= 2H+1 rows: every other block's (t+2H)-row window
-    # and every coarse-correction window then stays inside the array.
-    return g >= 3 and ny >= t + 2 * H and ny - (g - 1) * t >= 2 * H + 1
+    # _tile_geometry only returns tiles whose last block holds >= 2H+1
+    # rows (every other block's (t+2H)-row window and every
+    # coarse-correction window then stays inside the array); (0, 0) means
+    # no such tile exists.
+    t, _g = _tile_geometry(ny, lane_pad(nx), jnp.dtype(dtype).itemsize)
+    return t > 0
 
 
 def _aligned(x):
@@ -255,8 +267,8 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc):
                u_hbm, rc_hbm, rn_hbm, nrm_ref,
                rbuf, apbuf, ubuf, rcbuf, rnbuf, in_sems, out_sems):
         i = pl.program_id(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         r_start, r_wait = _in_sched(r_hbm, rbuf, in_sems, 0,
                                     stride=t, halo=H, n_src=ny, t_len=t, g=g)
@@ -428,8 +440,8 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc):
     def kernel(c_ref, b_hbm, u_hbm, rc_hbm,
                bbuf, ubuf, rcbuf, in_sems, out_sems):
         i = pl.program_id(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
                                     stride=t, halo=H, n_src=ny, t_len=t, g=g)
@@ -570,8 +582,8 @@ def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot):
             bufs = rest
         bbuf, ubuf, ebuf, zbuf, in_sems, out_sems = bufs
         i = pl.program_id(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
                                     stride=t, halo=H, n_src=ny, t_len=t, g=g)
@@ -744,8 +756,8 @@ def _papply_kernel(ny, nx, nx_p, t, g):
                pn_hbm, ap_hbm, un_hbm, dot_ref,
                zbuf, pbuf, ubuf, pnbuf, apbuf, unbuf, in_sems, out_sems):
         i = pl.program_id(0)
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         z_start, z_wait = _in_sched(z_hbm, zbuf, in_sems, 0,
                                     stride=t, halo=H, n_src=ny, t_len=t, g=g)

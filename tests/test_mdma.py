@@ -1,0 +1,201 @@
+"""Interpret-mode parity tests for the manual-DMA visit kernels
+(ops/pallas/mdma_kernel.py) — the production TPU mg-CG hot path.
+
+Every kernel is compared against the plain jnp composition of the same
+math (apply_stencil5 + the library transfer ops), covering exactly the
+geometry VERDICT r4 flagged as untested: the block-0 roll realignment,
+the short (non-tile-multiple) last block, and lane-pad masking at
+nx not divisible by 128.  The end-to-end test runs the full
+_solve_mgcg_fused_mdma against the generic PCG loop iterate-for-iterate.
+
+Reference analogue: the kernels replace the per-level smoother +
+residual + transfer MatMult chain of the reference's inner KSPSolve
+(/root/reference/src/solver.c:1516-1550).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_petsc_tpu.mesh import MeshType
+from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
+from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+    jacobi_step_coeffs,
+    prolong_x_bilinear,
+    restrict_x_fw,
+)
+from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
+from multigrid_petsc_tpu.problems import stencil_coefficients
+
+# 511: lane-padded to 512 (mask active), tile 128 -> g=4 with a short
+# 127-row last block, block-0 roll realignment exercised.
+NY = NX = 511
+STEPS = jacobi_step_coeffs(3, 0.8)
+
+
+def _x64():
+    jax.config.update("jax_enable_x64", True)
+
+
+def pad2(x, ny, nx):
+    rp, cp = mdma.shape_pad(ny, nx)
+    return jnp.pad(x, ((0, rp - x.shape[0]), (0, cp - x.shape[1])))
+
+
+def ref_smooth(st, b, u, steps):
+    """The kernels' exact step body on unpadded arrays (zero guess ==
+    u = 0: the kernels' first-step shortcut z = dinv*b is algebraically
+    dinv*(b - A*0))."""
+    dinv = 1.0 / st.cc
+    p = jnp.zeros_like(b)
+    for (a, bt) in steps:
+        z = dinv * (b - apply_stencil5(st, u))
+        p = bt * p + a * z
+        u = u + p
+    return u
+
+
+@pytest.fixture(scope="module")
+def setup():
+    _x64()
+    rng = np.random.default_rng(7)
+    st = stencil_coefficients(MeshType.UNIFORM, NY, NX, jnp.float64)
+    b = jnp.asarray(rng.standard_normal((NY, NX)))
+    u = jnp.asarray(rng.standard_normal((NY, NX)))
+    return st, b, u
+
+
+def test_gate_matches_kernel_tile(setup):
+    """ADVICE r4 (high): the gate must certify the SAME tile the kernels
+    run with; shapes it rejects must raise in every entry point."""
+    st, b, _u = setup
+    # ny=47: no 16-multiple tile gives >= 3 blocks with a >= 2H+1-row last
+    # block — the gate rejects and every entry point raises.
+    assert not mdma.mdma_viable(47, 47, 3, jnp.float32)
+    bad = jnp.zeros(mdma.shape_pad(47, 47))
+    with pytest.raises(ValueError):
+        mdma.visit_down_mdma(st, bad, STEPS, ny=47, nx=47, interpret=True)
+    # ny=527 (t=128 would leave a 15-row last block): the downward scan
+    # finds a smaller tile instead of approving broken geometry.
+    assert mdma.mdma_viable(527, 527, 3, jnp.float32)
+    t527, g527 = mdma._tile_geometry(527, mdma.lane_pad(527), 4)
+    mdma._check_tile(527, t527, g527)
+    # The bench shape: 8191 rejects t=112 (15-row last block) -> t=96.
+    t8191, g8191 = mdma._tile_geometry(8191, mdma.lane_pad(8191), 4)
+    mdma._check_tile(8191, t8191, g8191)
+    assert mdma.mdma_viable(NY, NX, 3, jnp.float32)
+    t, g = mdma._tile_geometry(NY, mdma.lane_pad(NX), 4)
+    mdma._check_tile(NY, t, g)  # the kernels' own invariant holds
+
+
+def test_visit_down_mdma_parity(setup):
+    st, b, _u = setup
+    u0_p, rc_y = mdma.visit_down_mdma(st, pad2(b, NY, NX), STEPS,
+                                      ny=NY, nx=NX, interpret=True)
+    u_ref = ref_smooth(st, b, jnp.zeros_like(b), STEPS)
+    rr = b - apply_stencil5(st, u_ref)
+    nyc = (NY - 1) // 2
+    np.testing.assert_allclose(np.asarray(u0_p[:NY, :NX]),
+                               np.asarray(u_ref), rtol=1e-12, atol=1e-13)
+    # Pads stay exactly zero (the kernels' stated invariant).
+    assert float(jnp.abs(u0_p[NY:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(u0_p[:, NX:]).max(initial=0.0)) == 0.0
+    rc1 = restrict_x_fw(rc_y[:nyc, :NX])
+    np.testing.assert_allclose(np.asarray(rc1), np.asarray(restrict_fw(rr)),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_cg_visit_down_mdma_parity(setup):
+    st, b, u = setup
+    alpha = 0.37
+    r, ap = b, u
+    u0_p, rc_y, r_new, nrm = mdma.cg_visit_down_mdma(
+        st, pad2(r, NY, NX), pad2(ap, NY, NX), alpha, STEPS,
+        ny=NY, nx=NX, interpret=True)
+    r_ref = r - alpha * ap
+    u_ref = ref_smooth(st, r_ref, jnp.zeros_like(b), STEPS)
+    rr = r_ref - apply_stencil5(st, u_ref)
+    nyc = (NY - 1) // 2
+    np.testing.assert_allclose(np.asarray(r_new[:NY, :NX]),
+                               np.asarray(r_ref), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(u0_p[:NY, :NX]),
+                               np.asarray(u_ref), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(restrict_x_fw(rc_y[:nyc, :NX])),
+        np.asarray(restrict_fw(rr)), rtol=1e-12, atol=1e-13)
+    nrm_ref = float(jnp.sum(r_ref * r_ref))
+    assert abs(float(nrm) - nrm_ref) <= 1e-10 * abs(nrm_ref)
+
+
+def test_visit_up_mdma_parity(setup):
+    st, b, u = setup
+    nyc = (NY - 1) // 2
+    nxc = (NX - 1) // 2
+    rng = np.random.default_rng(11)
+    e_c = jnp.asarray(rng.standard_normal((nyc, nxc)))
+    e_x = prolong_x_bilinear(e_c)
+    z_p, dot = mdma.visit_up_mdma(
+        st, pad2(b, NY, NX), pad2(jnp.array(u, copy=True), NY, NX),
+        pad2(e_x, nyc, NX), STEPS, ny=NY, nx=NX, interpret=True)
+    z_ref = ref_smooth(st, b, u + prolong_bilinear(e_c), STEPS)
+    np.testing.assert_allclose(np.asarray(z_p[:NY, :NX]),
+                               np.asarray(z_ref), rtol=1e-12, atol=1e-13)
+    assert float(jnp.abs(z_p[NY:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(z_p[:, NX:]).max(initial=0.0)) == 0.0
+    dot_ref = float(jnp.vdot(b.ravel(), z_ref.ravel()))
+    assert abs(float(dot) - dot_ref) <= 1e-10 * abs(dot_ref)
+
+
+def test_cg_papply_u_mdma_parity(setup):
+    st, b, u = setup
+    rng = np.random.default_rng(13)
+    z = jnp.asarray(rng.standard_normal((NY, NX)))
+    alpha_prev, beta = 0.21, 0.43
+    pn, ap, un, dot = mdma.cg_papply_u_mdma(
+        st, pad2(z, NY, NX), pad2(b, NY, NX),
+        pad2(jnp.array(u, copy=True), NY, NX), alpha_prev, beta,
+        ny=NY, nx=NX, interpret=True)
+    pn_ref = z + beta * b
+    ap_ref = apply_stencil5(st, pn_ref)
+    un_ref = u + alpha_prev * b
+    np.testing.assert_allclose(np.asarray(pn[:NY, :NX]), np.asarray(pn_ref),
+                               rtol=1e-12, atol=1e-13)
+    # atol covers cancellation: stencil terms are O(1/h^2) ~ 1e6, so an
+    # O(1) result carries ~1e-9 of f64 roundoff under either summation
+    # order.
+    np.testing.assert_allclose(np.asarray(ap[:NY, :NX]), np.asarray(ap_ref),
+                               rtol=1e-12, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(un[:NY, :NX]), np.asarray(un_ref),
+                               rtol=1e-12, atol=1e-13)
+    # ADVICE r4 (low): the lagged solution update must keep pads zero too.
+    assert float(jnp.abs(un[NY:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(un[:, NX:]).max(initial=0.0)) == 0.0
+    dot_ref = float(jnp.vdot(pn_ref.ravel(), ap_ref.ravel()))
+    assert abs(float(dot) - dot_ref) <= 1e-10 * abs(dot_ref)
+
+
+def test_mgcg_mdma_matches_generic_end_to_end():
+    """The full manual-DMA mg-CG solve (interpret-mode kernels on CPU via
+    backend='pallas') reproduces the generic PCG solve iterate-for-iterate
+    — the end-to-end routing + numerics check VERDICT r4 asked for."""
+    from multigrid_petsc_tpu.solvers.solve import solve
+    from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
+
+    base = dict(npts=513, grids=5, levels=5, cycle=CycleType.MGCG,
+                dtype="float32", rtol=1e-5, max_iter=30)
+    ref = solve(SolverConfig(backend="xla", **base))
+    got = solve(SolverConfig(backend="pallas", **base))
+    assert got.path == "mdma"
+    assert ref.path in ("generic", "fused")
+    assert int(got.iters) == int(ref.iters)
+    assert bool(got.converged)
+    # f32 working precision: the paths differ in reduction order only, but
+    # per-iterate f32 noise compounds through the recursion — compare the
+    # trajectories to a few percent and the returned solution tightly.
+    np.testing.assert_allclose(got.rnorm, ref.rnorm, rtol=0.05)
+    err = np.abs(got.u[0] - ref.u[0]).max() / np.abs(ref.u[0]).max()
+    assert err < 1e-3

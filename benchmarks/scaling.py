@@ -150,9 +150,17 @@ def main():
 
         out = Path(args.out)
         out.parent.mkdir(parents=True, exist_ok=True)
+        note = ""
+        if jax.devices()[0].platform == "cpu":
+            note = ("virtual CPU devices share one host's cores: these "
+                    "efficiencies validate the distributed code path "
+                    "(shard_map/halo/collectives), NOT hardware scaling; "
+                    "see PERFORMANCE.md scaling model for the predictive "
+                    "multi-chip estimate")
         out.write_text(json.dumps(
             {"mode": args.mode, "plan": args.plan,
-             "device": str(jax.devices()[0]), "rows": rows}, indent=1))
+             "device": str(jax.devices()[0]), "note": note,
+             "rows": rows}, indent=1))
         print(f"wrote {out}")
 
 

@@ -168,6 +168,71 @@ def test_compiled_dist_kernels_single_chip(data):
     assert_close(np.asarray(rc)[:-1], rc_exp)
 
 
+def test_compiled_mdma_kernels(data):
+    """COMPILED manual-DMA visit kernels (ops/pallas/mdma_kernel.py) — the
+    production mg-CG hot path — vs the jnp compositions (VERDICT r4 #2:
+    this tier previously covered every kernel file except mdma_kernel, so
+    a Mosaic regression of the manual-DMA lowering was invisible)."""
+    from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        jacobi_step_coeffs,
+        prolong_x_bilinear,
+        restrict_x_fw,
+    )
+
+    st, u, b = data
+    steps = jacobi_step_coeffs(3, 0.8)
+    nyc = (N - 1) // 2
+
+    def pad2(x, ny, nx):
+        rp, cp = mdma.shape_pad(ny, nx)
+        return jnp.pad(x, ((0, rp - x.shape[0]), (0, cp - x.shape[1])))
+
+    assert mdma.mdma_viable(N, N, 3, jnp.float32)
+
+    # down visit
+    u0, rc_y = mdma.visit_down_mdma(st, pad2(b, N, N), steps, ny=N, nx=N)
+    u_exp = _jacobi(st, b, jnp.zeros_like(b), 3)
+    rr = b - apply_stencil5(st, u_exp)
+    assert_close(np.asarray(u0[:N, :N]), np.asarray(u_exp))
+    assert_close(np.asarray(restrict_x_fw(rc_y[:nyc, :N])),
+                 np.asarray(restrict_fw(rr)))
+    assert float(jnp.abs(u0[N:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(u0[:, N:]).max(initial=0.0)) == 0.0
+
+    # CG down visit (residual update folded in)
+    alpha = 0.37
+    u0c, rc_yc, r_new, nrm = mdma.cg_visit_down_mdma(
+        st, pad2(b, N, N), pad2(u, N, N), alpha, steps, ny=N, nx=N)
+    r_exp = b - alpha * u
+    assert_close(np.asarray(r_new[:N, :N]), np.asarray(r_exp))
+    nrm_exp = float(jnp.sum(r_exp * r_exp))
+    assert abs(float(nrm) - nrm_exp) <= 1e-4 * abs(nrm_exp)
+
+    # up visit with in-kernel coarse correction + dot
+    e_c = jnp.asarray(
+        np.random.default_rng(3).standard_normal((nyc, nyc)), jnp.float32)
+    e_xp = pad2(prolong_x_bilinear(e_c), nyc, N)
+    z, dot = mdma.visit_up_mdma(st, pad2(b, N, N),
+                                pad2(jnp.array(u, copy=True), N, N),
+                                e_xp, steps, ny=N, nx=N)
+    z_exp = _jacobi(st, b, u + prolong_bilinear(e_c), 3)
+    assert_close(np.asarray(z[:N, :N]), np.asarray(z_exp))
+    dot_exp = float(jnp.vdot(b.ravel(), z_exp.astype(jnp.float32).ravel()))
+    assert abs(float(dot) - dot_exp) <= 1e-3 * abs(dot_exp)
+
+    # CG direction step + lagged update
+    pn, ap, un, pdot = mdma.cg_papply_u_mdma(
+        st, pad2(b, N, N), pad2(u, N, N),
+        pad2(jnp.array(u, copy=True), N, N), 0.21, 0.43, ny=N, nx=N)
+    pn_exp = b + 0.43 * u
+    assert_close(np.asarray(pn[:N, :N]), np.asarray(pn_exp))
+    assert_close(np.asarray(ap[:N, :N]),
+                 np.asarray(apply_stencil5(st, pn_exp)))
+    assert_close(np.asarray(un[:N, :N]), np.asarray(u + 0.21 * u))
+    assert float(jnp.abs(un[N:]).max(initial=0.0)) == 0.0
+
+
 def test_real_solve_mgcg_1025():
     """End-to-end compiled solve on the chip: 1025^2 f32 mg-CG with the
     fused kernels, matching the xla-backend run iteration-for-iteration."""
@@ -180,6 +245,9 @@ def test_real_solve_mgcg_1025():
     res = solve(cfg)
     assert res.converged
     assert any(l.use_pallas_apply for l in res.ctx.levels)
+    # 1023^2 is mdma-viable: the production manual-DMA path must have run
+    # (a silent routing change fails here and in bench.py).
+    assert res.path == "mdma"
     import dataclasses
 
     ref = solve(dataclasses.replace(cfg, backend="xla"))

@@ -114,7 +114,7 @@ def main() -> None:
             return run
 
         dt = timed_loop(mk, b_p, 2, 10)
-        report(f"vdown_mdma k={k_sw}", dt, halo_f + 1 + 0.5)
+        report(f"vdown_mdma k={k_sw}", dt, halo_f + 1 + 0.25)
 
     # ---- auto-pipelined down visit (A/B), k = 3 ----
     b_real = jnp.ones((ny, nx), DT) * 1e-3
@@ -144,7 +144,7 @@ def main() -> None:
         return run
 
     dt = timed_loop(mk_cgdown, (b_p, b_p * 0.5), 2, 10)
-    report("cgdown_mdma k=3", dt, 2 * halo_f + 1 + 0.5 + 1)
+    report("cgdown_mdma k=3", dt, 2 * halo_f + 1 + 0.25 + 1)
 
     def mk_cgdown_auto(k):
         def run(s):
@@ -160,8 +160,10 @@ def main() -> None:
     report("cgdown_auto k=3", dt, 4.5)
 
     # ---- visit_up_mdma at k = 1, 3, 5 ----
-    e_xp = jnp.where(
-        (jnp.arange(nycp)[:, None] < nyc) & (jnp.arange(nxp)[None, :] < nx),
+    nxc = (nx - 1) // 2
+    nycp2, nxcp = mdma.shape_pad(nyc, nxc)
+    e_cp = jnp.where(
+        (jnp.arange(nycp2)[:, None] < nyc) & (jnp.arange(nxcp)[None, :] < nxc),
         1e-6, 0.0).astype(DT)
     for k_sw in (1, 3, 5):
         steps = jacobi_step_coeffs(k_sw, 0.8)
@@ -171,14 +173,14 @@ def main() -> None:
                 b, u = s
                 def one(i, s):
                     b, u = s
-                    z, d = mdma.visit_up_mdma(st, b, u, e_xp, _steps,
+                    z, d = mdma.visit_up_mdma(st, b, u, e_cp, _steps,
                                               ny=ny, nx=nx)
                     return (b, z)
                 return jax.lax.fori_loop(0, k, one, s)
             return run
 
         dt = timed_loop(mk, (b_p, b_p * 0.5), 2, 10)
-        report(f"vup_mdma k={k_sw}", dt, 2 * halo_f + 0.5 + 1)
+        report(f"vup_mdma k={k_sw}", dt, 2 * halo_f + 0.25 + 1)
 
     e_c = jnp.full((nyc, nyc), 1e-6, DT)
 

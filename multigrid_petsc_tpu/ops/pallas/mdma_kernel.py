@@ -224,6 +224,48 @@ def _out_sched(buf, hbm, sems, sidx, *, stride, n_dst, g):
     return start, wait_prev, drain
 
 
+def _restrict_x_pad(rc_y: jnp.ndarray, nxc: int, nxc_p: int) -> jnp.ndarray:
+    """In-VMEM x-direction half of full weighting on a lane-PADDED
+    y-restricted slab, (tc, nx_p) -> (tc, nxc_p), including the overall
+    1/16 scale — same math as stencil_kernel.restrict_x_fw.
+
+    Mosaic cannot stride LANES, but sublane reshapes lower fine, so the
+    slab is transposed, de-interleaved along sublanes, zero-padded to the
+    COARSE lane pad, and transposed back — the down kernels then emit the
+    next level's padded layout directly (no XLA restrict/pad passes)."""
+    tc = rc_y.shape[0]
+    rt = rc_y.T  # (nx_p, tc)
+    v = rt[: 2 * nxc].reshape(nxc, 2, tc)
+    ev, od = v[:, 0], v[:, 1]
+    ev_next = jnp.concatenate([ev[1:], rt[2 * nxc : 2 * nxc + 1]], axis=0)
+    res = 0.0625 * (ev + 2.0 * od + ev_next)  # (nxc, tc)
+    if nxc_p > nxc:
+        res = jnp.concatenate(
+            [res, jnp.zeros((nxc_p - nxc, tc), res.dtype)], axis=0)
+    return res.T
+
+
+def _prolong_x_pad(e: jnp.ndarray, nxc: int, nx: int,
+                   nx_p: int) -> jnp.ndarray:
+    """In-VMEM x-direction half of bilinear prolongation on a lane-PADDED
+    coarse slab, (rows, nxc_p) -> (rows, nx_p): fine col 2J+1 = e[:, J],
+    col 2J = neighbor average (zero Dirichlet edges), fine lane pads
+    zero.  Same transpose trick as _restrict_x_pad; the up kernel then
+    consumes the COARSE-width correction (half the e bytes, no XLA
+    prolong/pad passes)."""
+    rows = e.shape[0]
+    et = e.T[:nxc]  # (nxc, rows) — sublane slice after transpose
+    z = jnp.zeros((1, rows), e.dtype)
+    ep = jnp.concatenate([z, et, z], axis=0)
+    ph = 0.5 * (ep[:-1] + ep[1:])  # (nxc + 1, rows): fine even cols
+    body = jnp.stack([ph[:nxc], et], axis=1).reshape(2 * nxc, rows)
+    out = jnp.concatenate([body, ph[nxc : nxc + 1]], axis=0)  # (nx, rows)
+    if nx_p > nx:
+        out = jnp.concatenate(
+            [out, jnp.zeros((nx_p - nx, rows), e.dtype)], axis=0)
+    return out.T
+
+
 def _apply5(c_ref, v):
     cs = c_ref[0, 0]
     cw = c_ref[0, 1]
@@ -260,7 +302,7 @@ def _inside(i, t, ny, nx, shape, halo=H):
 # --------------------------------------------------------------------------
 
 
-def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc):
+def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
     t2 = t + 2 * H
 
     def kernel(c_ref, alpha_ref, r_hbm, ap_hbm,
@@ -325,6 +367,13 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc):
         ev, od = v[:, 0], v[:, 1]
         ev_next = jnp.concatenate([ev[1:], rr[H + t : H + t + 1]], axis=0)
         rc_y = ev + 2.0 * od + ev_next
+        rc = _restrict_x_pad(rc_y, nxc, nxc_p)
+        # Coarse-row mask: the last block's pad rows would otherwise pick
+        # up real fine-grid values (row 2j of a pad row j is in-grid) —
+        # rc's pads must stay exactly zero (it IS the next level's padded
+        # rhs).
+        rc = jnp.where(_inside(i, t // 2, nyc, nxc_p, rc.shape, halo=0),
+                       rc, 0.0)
 
         @pl.when(i >= 2)
         def _():
@@ -334,7 +383,7 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc):
 
         ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
         rnbuf[slot] = b_mid.astype(rnbuf.dtype)
-        rcbuf[slot] = rc_y.astype(rcbuf.dtype)
+        rcbuf[slot] = rc.astype(rcbuf.dtype)
 
         # Donation safety: block i's out rows overlap block i+1's input
         # window tail — that prefetch must land before the out-DMA.
@@ -368,12 +417,14 @@ def cg_visit_down_mdma(
     nx: int | None = None,
     interpret: bool = False,
 ):
-    """(u0, rc_y, r', ||r'||^2 partial-sum) on shape_pad-PADDED arrays.
+    """(u0, rc, r', ||r'||^2 partial-sum) on shape_pad-PADDED arrays.
 
     ``r``/``ap`` are shape_pad(ny, nx) arrays with zero pads and are
-    DONATED (r -> r', ap -> u0).  ``rc_y`` is the (padded) half-height,
-    full-width y-restricted residual — callers run restrict_x_fw on its
-    real rows/columns.  ``ny``/``nx`` are the REAL interior dims."""
+    DONATED (r -> r', ap -> u0).  ``rc`` is the FULLY restricted
+    residual (both halves of full weighting, in-kernel x-restriction) in
+    the NEXT level's padded layout shape_pad(nyc, nxc) — for a 1-gap
+    coarser level it is that level's padded rhs verbatim.  ``ny``/``nx``
+    are the REAL interior dims."""
     ny_p, nx_p = r.shape
     ny = ny_p if ny is None else ny
     nx = nx_p if nx is None else nx
@@ -383,7 +434,8 @@ def cg_visit_down_mdma(
     t, g = _tile_geometry(ny, nx_p, jnp.dtype(r.dtype).itemsize)
     _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
-    nyc_p = _ceil8(nyc)
+    nxc = (nx - 1) // 2
+    nyc_p, nxc_p = shape_pad(nyc, nxc)
     t2 = t + 2 * H
 
     c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(r.dtype))
@@ -398,22 +450,22 @@ def cg_visit_down_mdma(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     with _x64_scope(r.dtype):
-        u0, rc_y, r_new, nrm = pl.pallas_call(
-            _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc),
+        u0, rc, r_new, nrm = pl.pallas_call(
+            _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p),
             grid=(g,),
             in_specs=[coeff, smem1, any_spec, any_spec],
             out_specs=[any_spec, any_spec, any_spec, nrm_spec],
             out_shape=[
-                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),   # u0
-                jax.ShapeDtypeStruct((nyc_p, nx_p), r.dtype),  # rc_y
-                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),   # r'
+                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),    # u0
+                jax.ShapeDtypeStruct((nyc_p, nxc_p), r.dtype),  # rc
+                jax.ShapeDtypeStruct((ny_p, nx_p), r.dtype),    # r'
                 jax.ShapeDtypeStruct((g, 1), cdt),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, t2, nx_p), r.dtype),
                 pltpu.VMEM((2, t2, nx_p), r.dtype),
                 pltpu.VMEM((2, t, nx_p), r.dtype),
-                pltpu.VMEM((2, t // 2, nx_p), r.dtype),
+                pltpu.VMEM((2, t // 2, nxc_p), r.dtype),
                 pltpu.VMEM((2, t, nx_p), r.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2, 3)),
@@ -425,7 +477,7 @@ def cg_visit_down_mdma(
             ),
             interpret=interpret,
         )(c_slabs, alpha_arr, r, ap)
-    return u0, rc_y, r_new, jnp.sum(nrm)
+    return u0, rc, r_new, jnp.sum(nrm)
 
 
 # --------------------------------------------------------------------------
@@ -434,7 +486,7 @@ def cg_visit_down_mdma(
 # --------------------------------------------------------------------------
 
 
-def _down_kernel(ny, nx, nx_p, t, g, steps, nyc):
+def _down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
     t2 = t + 2 * H
 
     def kernel(c_ref, b_hbm, u_hbm, rc_hbm,
@@ -481,6 +533,10 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc):
         ev, od = v[:, 0], v[:, 1]
         ev_next = jnp.concatenate([ev[1:], rr[H + t : H + t + 1]], axis=0)
         rc_y = ev + 2.0 * od + ev_next
+        rc = _restrict_x_pad(rc_y, nxc, nxc_p)
+        # Coarse-row mask — see _cg_down_kernel.
+        rc = jnp.where(_inside(i, t // 2, nyc, nxc_p, rc.shape, halo=0),
+                       rc, 0.0)
 
         @pl.when(i >= 2)
         def _():
@@ -488,7 +544,7 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc):
             c_wait(slot, i - 2)
 
         ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
-        rcbuf[slot] = rc_y.astype(rcbuf.dtype)
+        rcbuf[slot] = rc.astype(rcbuf.dtype)
 
         # b is not donated here, but keep the prefetch-before-out order
         # anyway (uniform pipeline; the wait pairs each start exactly once).
@@ -517,9 +573,11 @@ def visit_down_mdma(
     nx: int | None = None,
     interpret: bool = False,
 ):
-    """(u0, rc_y): the zero-guess down visit on a shape_pad-PADDED b —
+    """(u0, rc): the zero-guess down visit on a shape_pad-PADDED b —
     the mid-hierarchy down leg (every level below the finest smooths
-    from zero; reference src/solver.c:1533-1538)."""
+    from zero; reference src/solver.c:1533-1538).  ``rc`` is the FULLY
+    restricted residual in the next level's padded layout
+    shape_pad(nyc, nxc) (see cg_visit_down_mdma)."""
     ny_p, nx_p = b.shape
     ny = ny_p if ny is None else ny
     nx = nx_p if nx is None else nx
@@ -529,7 +587,8 @@ def visit_down_mdma(
     t, g = _tile_geometry(ny, nx_p, jnp.dtype(b.dtype).itemsize)
     _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
-    nyc_p = _ceil8(nyc)
+    nxc = (nx - 1) // 2
+    nyc_p, nxc_p = shape_pad(nyc, nxc)
     t2 = t + 2 * H
 
     c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(b.dtype))
@@ -538,19 +597,19 @@ def visit_down_mdma(
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     with _x64_scope(b.dtype):
-        u0, rc_y = pl.pallas_call(
-            _down_kernel(ny, nx, nx_p, t, g, steps, nyc),
+        u0, rc = pl.pallas_call(
+            _down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p),
             grid=(g,),
             in_specs=[coeff, any_spec],
             out_specs=[any_spec, any_spec],
             out_shape=[
                 jax.ShapeDtypeStruct((ny_p, nx_p), b.dtype),
-                jax.ShapeDtypeStruct((nyc_p, nx_p), b.dtype),
+                jax.ShapeDtypeStruct((nyc_p, nxc_p), b.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, t2, nx_p), b.dtype),
                 pltpu.VMEM((2, t, nx_p), b.dtype),
-                pltpu.VMEM((2, t // 2, nx_p), b.dtype),
+                pltpu.VMEM((2, t // 2, nxc_p), b.dtype),
                 pltpu.SemaphoreType.DMA((2, 1)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
@@ -560,17 +619,18 @@ def visit_down_mdma(
             ),
             interpret=interpret,
         )(c_slabs, b)
-    return u0, rc_y
+    return u0, rc
 
 
 # --------------------------------------------------------------------------
 # Kernel 2: up visit with in-kernel coarse correction + <b, u''> emission.
-#   (b, u, e_x) -> z = smooth_k(b, u + P_y e_x), <b, z> partials.
-#   u -> z donated.  e_x is the x-prolonged correction (nyc, nx_p).
+#   (b, u, e_c) -> z = smooth_k(b, u + P e_c), <b, z> partials.
+#   u -> z donated.  e_c is the COARSE correction, shape_pad(nyc, nxc);
+#   both halves of the bilinear prolongation run in VMEM.
 # --------------------------------------------------------------------------
 
 
-def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot):
+def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, emit_dot):
     t2 = t + 2 * H
     s = t // 2
 
@@ -624,15 +684,18 @@ def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot):
         b = jnp.where(inside, b, 0.0)
         u = jnp.where(inside, u, 0.0)
         # Coarse rows of the e slab: global row i*s - H + j.
-        e_inside = _inside(i, s, nyc, nx, e.shape)
+        e_inside = _inside(i, s, nyc, nxc, e.shape)
         e = jnp.where(e_inside, e, 0.0)
 
-        # y-half of the bilinear prolongation.  Fine slab row j is global
-        # i*t - H + j (even offset), so pairs (2m, 2m+1) map to coarse
-        # slab rows (m + H/2 - 1, m + H/2) / (m + H/2):
+        # x-half of the bilinear prolongation in VMEM (transpose trick;
+        # only the rows the y-half below consumes), then the y-half.
+        # Fine slab row j is global i*t - H + j (even offset), so pairs
+        # (2m, 2m+1) map to coarse slab rows (m + H/2 - 1, m + H/2) /
+        # (m + H/2):
         #   even fine row 2m  -> 0.5*(e[m + H/2 - 1] + e[m + H/2])
         #   odd  fine row 2m+1 ->      e[m + H/2]
         es = e[H // 2 - 1 : H // 2 - 1 + t2 // 2 + 1]
+        es = _prolong_x_pad(es, nxc, nx, nx_p)
         prev, cur = es[:-1], es[1:]
         pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
         u = jnp.where(inside, u + pe.reshape(t2, pe.shape[-1]), 0.0)
@@ -676,16 +739,18 @@ def visit_up_mdma(
     st: Stencil5,
     b: jnp.ndarray,
     u: jnp.ndarray,
-    e_x: jnp.ndarray,
+    e_c: jnp.ndarray,
     steps: tuple,
     ny: int | None = None,
     nx: int | None = None,
     emit_dot: bool = True,
     interpret: bool = False,
 ):
-    """z = smooth_k(b, u + P_y e_x) [, <b, z>] on shape_pad-PADDED
-    arrays.  ``u`` is DONATED (u -> z); ``e_x`` is the x-prolonged
-    coarse correction, shape_pad(nyc, nx), with zero pads."""
+    """z = smooth_k(b, u + P e_c) [, <b, z>] on shape_pad-PADDED
+    arrays.  ``u`` is DONATED (u -> z); ``e_c`` is the COARSE correction
+    in shape_pad(nyc, nxc) layout (a 1-gap coarser mdma level's solution
+    verbatim), with zero pads; both halves of the bilinear prolongation
+    run in VMEM."""
     ny_p, nx_p = b.shape
     ny = ny_p if ny is None else ny
     nx = nx_p if nx is None else nx
@@ -695,6 +760,13 @@ def visit_up_mdma(
     t, g = _tile_geometry(ny, nx_p, jnp.dtype(b.dtype).itemsize)
     _check_tile(ny, t, g)
     nyc = (ny - 1) // 2
+    nxc = (nx - 1) // 2
+    nxc_p = lane_pad(nxc)
+    if e_c.shape != (shape_pad(nyc, nxc)):
+        raise ValueError(
+            f"e_c must be shape_pad(nyc, nxc) = {shape_pad(nyc, nxc)}, "
+            f"got {e_c.shape}"
+        )
     t2 = t + 2 * H
 
     c_slabs = _coeff_slabs(st, ny, t, g, _compute_dtype(b.dtype))
@@ -712,7 +784,7 @@ def visit_up_mdma(
 
     with _x64_scope(b.dtype):
         out = pl.pallas_call(
-            _up_kernel(ny, nx, nx_p, t, g, steps, nyc, emit_dot),
+            _up_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, emit_dot),
             grid=(g,),
             in_specs=[coeff, any_spec, any_spec, any_spec],
             out_specs=out_specs if emit_dot else out_specs[0],
@@ -720,7 +792,7 @@ def visit_up_mdma(
             scratch_shapes=[
                 pltpu.VMEM((2, t2, nx_p), b.dtype),       # b windows
                 pltpu.VMEM((2, t2, nx_p), b.dtype),       # u windows
-                pltpu.VMEM((2, t // 2 + 2 * H, nx_p), b.dtype),  # e windows
+                pltpu.VMEM((2, t // 2 + 2 * H, nxc_p), b.dtype),  # e windows
                 pltpu.VMEM((2, t, nx_p), b.dtype),        # z staging
                 pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((2, 1)),
@@ -731,7 +803,7 @@ def visit_up_mdma(
                 vmem_limit_bytes=100 * 2**20,
             ),
             interpret=interpret,
-        )(c_slabs, b, u, e_x)
+        )(c_slabs, b, u, e_c)
     if emit_dot:
         z, dots = out
         return z, jnp.sum(dots)

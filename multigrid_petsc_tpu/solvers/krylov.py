@@ -127,6 +127,129 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     )
 
 
+def mdma_plan(ctx: MGContext, interpret: bool = False) -> dict:
+    """The manual-DMA solve's data plan as named closures — shared by
+    ``_solve_mgcg_fused_mdma`` and the per-piece perf probes
+    (benchmarks/probe_mdma_glue.py), so what gets probed IS the
+    production code."""
+    from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
+    from multigrid_petsc_tpu.solvers.vcycle import _cycle, _visit_sweeps
+
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    lvl0 = ctx.levels[0]
+    st = lvl0.stencils[0]
+    ny, nx = lvl0.spec.primary.shape
+    nyc = (ny - 1) // 2
+    nxc = (nx - 1) // 2
+    k = _visit_sweeps(ctx, 0, v0, v1)
+    steps = lvl0.steps_fn(k)
+
+    def pad2(x, rows, cols):
+        rp, cp = mdma.shape_pad(rows, cols)
+        return jnp.pad(x, ((0, rp - x.shape[0]), (0, cp - x.shape[1])))
+
+    def _level_mdma_ok(l: int, dtype) -> bool:
+        lvl = ctx.levels[l]
+        if l == len(ctx.levels) - 1:
+            return False
+        nyl, nxl = lvl.spec.primary.shape
+        kl = _visit_sweeps(ctx, l, v0, v1)
+        return (not lvl.spec.is_composite and lvl.dist is None
+                and not lvl.pad_rows and lvl.steps_fn is not None
+                and mdma.mdma_viable(nyl, nxl, kl, dtype))
+
+    def _adjacent(l: int) -> bool:
+        """Next level is a single grid exactly one gap down — the mdma
+        kernels' rc output IS its padded rhs and its solution IS the
+        up-visit's e_c (no transfer glue at all)."""
+        nxt = ctx.levels[l + 1]
+        return (len(nxt.spec.grids) == 1 and not nxt.spec.is_composite
+                and nxt.spec.primary.g - ctx.levels[l].spec.primary.g == 1
+                and not nxt.pad_rows)
+
+    def _coarse_from_rc(l: int, rc):
+        """Solve levels > l given level l's FULLY restricted residual in
+        shape_pad(nycl, nxcl) layout; return the padded coarse correction
+        the up visit consumes (same layout)."""
+        nyl, nxl = ctx.levels[l].spec.primary.shape
+        nycl, nxcl = (nyl - 1) // 2, (nxl - 1) // 2
+        if _adjacent(l):
+            if _level_mdma_ok(l + 1, rc.dtype):
+                return cycle_mdma_pad(l + 1, rc)
+            u_next = _cycle(ctx, l + 1, (rc[:nycl, :nxcl],), None,
+                            v0, v1, False)
+            return pad2(u_next[0].astype(rc.dtype), nycl, nxcl)
+        # General fallback (multi-gap or composite next level): unpad and
+        # use the context transfers; prolong_half lands exactly one gap
+        # below level l's primary grid = the (nycl, nxcl) coarse layout.
+        b_next = ctx.restrict_rc1(l, rc[:nycl, :nxcl])
+        if len(b_next) == 1 and _level_mdma_ok(l + 1, rc.dtype):
+            u_next = (cycle_mdma_pad_entry(l + 1, b_next[0]),)
+        else:
+            u_next = _cycle(ctx, l + 1, b_next, None, v0, v1, False)
+        e_c = ctx.prolong_half(l, u_next)
+        return pad2(e_c.astype(rc.dtype), nycl, nxcl)
+
+    def cycle_mdma_pad(l: int, b_pad):
+        """V-cycle from mdma-eligible level ``l`` on a PADDED rhs (the
+        parent's rc output verbatim); returns the padded solution."""
+        lvl = ctx.levels[l]
+        nyl, nxl = lvl.spec.primary.shape
+        kl = _visit_sweeps(ctx, l, v0, v1)
+        steps_l = lvl.steps_fn(kl)
+        st_l = lvl.stencils[0]
+        u0, rc = mdma.visit_down_mdma(st_l, b_pad, steps_l, ny=nyl,
+                                      nx=nxl, interpret=interpret)
+        e_c = _coarse_from_rc(l, rc)
+        return mdma.visit_up_mdma(st_l, b_pad, u0, e_c, steps_l, ny=nyl,
+                                  nx=nxl, emit_dot=False,
+                                  interpret=interpret)
+
+    def cycle_mdma_pad_entry(l: int, b2d):
+        return cycle_mdma_pad(l, pad2(b2d, *ctx.levels[l].spec.primary.shape))
+
+    def cycle_mdma(l: int, b2d):
+        """V-cycle from level ``l`` >= 1 on an UNPADDED single-grid rhs;
+        returns the unpadded level-l solution.  Levels in the mdma shape
+        envelope run the manual-DMA visit kernels; smaller/irregular
+        levels (and the coarsest) fall back to the generic _cycle."""
+        if not _level_mdma_ok(l, b2d.dtype):
+            return _cycle(ctx, l, (b2d,), None, v0, v1, False)[0]
+        nyl, nxl = ctx.levels[l].spec.primary.shape
+        return cycle_mdma_pad_entry(l, b2d)[:nyl, :nxl]
+
+    def coarse_correction(rc):
+        """Everything between the level-0 down and up visits, given the
+        kernel-emitted fully restricted residual (padded coarse layout)."""
+        return _coarse_from_rc(0, rc)
+
+    def precond(r_pad, ap_pad, alpha):
+        """(z, <r', z>, r', ||r'||^2) with r' = r - alpha ap and z = M r'
+        — the full preconditioner application, manual-DMA on every level
+        in the shape envelope.  The inter-level transfers ride INSIDE the
+        kernels (in-VMEM x-restriction/prolongation): for adjacent
+        single-grid levels the only XLA work between kernels is the
+        coarsest-level solve."""
+        u0, rc, r_new, rn2 = mdma.cg_visit_down_mdma(
+            st, r_pad, ap_pad, alpha, steps, ny=ny, nx=nx,
+            interpret=interpret)
+        e_c = coarse_correction(rc)
+        z, rz = mdma.visit_up_mdma(st, r_new, u0, e_c, steps, ny=ny,
+                                   nx=nx, interpret=interpret)
+        return z, rz, r_new, rn2
+
+    return {
+        "pad2": pad2,
+        "cycle_mdma": cycle_mdma,
+        "coarse_correction": coarse_correction,
+        "precond": precond,
+        "steps": steps,
+        "st": st,
+        "shape": (ny, nx),
+    }
+
+
 def _solve_mgcg_fused_mdma(ctx: MGContext, b: State,
                            interpret: bool = False) -> OuterResult:
     """PCG over the manual-DMA kernels (ops.pallas.mdma_kernel).
@@ -150,78 +273,15 @@ def _solve_mgcg_fused_mdma(ctx: MGContext, b: State,
     Differences from the generic path are reduction order only.
     """
     from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
-    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
-        prolong_x_bilinear,
-        restrict_x_fw,
-    )
-    from multigrid_petsc_tpu.solvers.vcycle import _cycle, _visit_sweeps
 
     cfg = ctx.config
-    v0, v1 = cfg.v
     lvl0 = ctx.levels[0]
     st = lvl0.stencils[0]
     ny, nx = lvl0.spec.primary.shape
-    nyp, nxp = mdma.shape_pad(ny, nx)
-    nyc = (ny - 1) // 2
-    nycp = mdma.shape_pad(nyc, nx)[0]
-    k = _visit_sweeps(ctx, 0, v0, v1)
-    steps = lvl0.steps_fn(k)
     max_iter, hist_len = cfg.max_iter, cfg.hist_len
-
-    def pad2(x, rows, cols):
-        rp, cp = mdma.shape_pad(rows, cols)
-        return jnp.pad(x, ((0, rp - x.shape[0]), (0, cp - x.shape[1])))
-
-    def cycle_mdma(l: int, b2d):
-        """V-cycle from level ``l`` >= 1 on an UNPADDED single-grid rhs;
-        returns the unpadded level-l solution.  Levels in the mdma shape
-        envelope run the manual-DMA visit kernels; smaller/irregular
-        levels (and the coarsest) fall back to the generic _cycle."""
-        lvl = ctx.levels[l]
-        last = l == len(ctx.levels) - 1
-        nyl, nxl = lvl.spec.primary.shape
-        kl = _visit_sweeps(ctx, l, v0, v1)
-        use = (not last and not lvl.spec.is_composite and lvl.dist is None
-               and not lvl.pad_rows and lvl.steps_fn is not None
-               and mdma.mdma_viable(nyl, nxl, kl, b2d.dtype))
-        if not use:
-            return _cycle(ctx, l, (b2d,), None, v0, v1, False)[0]
-        st_l = lvl.stencils[0]
-        steps_l = lvl.steps_fn(kl)
-        b_pad = pad2(b2d, nyl, nxl)
-        u0, rc_y = mdma.visit_down_mdma(st_l, b_pad, steps_l, ny=nyl,
-                                        nx=nxl, interpret=interpret)
-        nycl = (nyl - 1) // 2
-        rc1 = restrict_x_fw(rc_y[:nycl, :nxl])
-        b_next = ctx.restrict_rc1(l, rc1)
-        if len(b_next) == 1:
-            u_next = (cycle_mdma(l + 1, b_next[0]),)
-        else:
-            u_next = _cycle(ctx, l + 1, b_next, None, v0, v1, False)
-        e_c = ctx.prolong_half(l, u_next)
-        e_xp = pad2(prolong_x_bilinear(e_c.astype(b_pad.dtype)), nycl, nxl)
-        z = mdma.visit_up_mdma(st_l, b_pad, u0, e_xp, steps_l, ny=nyl,
-                               nx=nxl, emit_dot=False, interpret=interpret)
-        return z[:nyl, :nxl]
-
-    def precond(r_pad, ap_pad, alpha):
-        """(z, <r', z>, r', ||r'||^2) with r' = r - alpha ap and z = M r'
-        — the full preconditioner application, manual-DMA on every level
-        in the shape envelope."""
-        u0, rc_y, r_new, rn2 = mdma.cg_visit_down_mdma(
-            st, r_pad, ap_pad, alpha, steps, ny=ny, nx=nx,
-            interpret=interpret)
-        rc1 = restrict_x_fw(rc_y[:nyc, :nx])
-        b_next = ctx.restrict_rc1(0, rc1)
-        if len(b_next) == 1:
-            u_next = (cycle_mdma(1, b_next[0]),)
-        else:
-            u_next = _cycle(ctx, 1, b_next, None, v0, v1, False)
-        e_c = ctx.prolong_half(0, u_next)
-        e_xp = pad2(prolong_x_bilinear(e_c.astype(r_pad.dtype)), nyc, nx)
-        z, rz = mdma.visit_up_mdma(st, r_new, u0, e_xp, steps, ny=ny,
-                                   nx=nx, interpret=interpret)
-        return z, rz, r_new, rn2
+    plan = mdma_plan(ctx, interpret=interpret)
+    pad2 = plan["pad2"]
+    precond = plan["precond"]
 
     bnorm = tree_norm2(b)
     rn0 = bnorm  # u0 = 0 -> r0 = b exactly

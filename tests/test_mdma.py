@@ -24,8 +24,6 @@ from multigrid_petsc_tpu.mesh import MeshType
 from multigrid_petsc_tpu.ops.pallas import mdma_kernel as mdma
 from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
     jacobi_step_coeffs,
-    prolong_x_bilinear,
-    restrict_x_fw,
 )
 from multigrid_petsc_tpu.ops.stencil import apply_stencil5
 from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
@@ -94,8 +92,8 @@ def test_gate_matches_kernel_tile(setup):
 
 def test_visit_down_mdma_parity(setup):
     st, b, _u = setup
-    u0_p, rc_y = mdma.visit_down_mdma(st, pad2(b, NY, NX), STEPS,
-                                      ny=NY, nx=NX, interpret=True)
+    u0_p, rc = mdma.visit_down_mdma(st, pad2(b, NY, NX), STEPS,
+                                    ny=NY, nx=NX, interpret=True)
     u_ref = ref_smooth(st, b, jnp.zeros_like(b), STEPS)
     rr = b - apply_stencil5(st, u_ref)
     nyc = (NY - 1) // 2
@@ -104,16 +102,21 @@ def test_visit_down_mdma_parity(setup):
     # Pads stay exactly zero (the kernels' stated invariant).
     assert float(jnp.abs(u0_p[NY:]).max(initial=0.0)) == 0.0
     assert float(jnp.abs(u0_p[:, NX:]).max(initial=0.0)) == 0.0
-    rc1 = restrict_x_fw(rc_y[:nyc, :NX])
-    np.testing.assert_allclose(np.asarray(rc1), np.asarray(restrict_fw(rr)),
+    nxc = (NX - 1) // 2
+    # rc is emitted fully restricted (in-VMEM x-half) in the next level's
+    # padded layout; its pads must be exactly zero.
+    np.testing.assert_allclose(np.asarray(rc[:nyc, :nxc]),
+                               np.asarray(restrict_fw(rr)),
                                rtol=1e-12, atol=1e-13)
+    assert float(jnp.abs(rc[nyc:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(rc[:, nxc:]).max(initial=0.0)) == 0.0
 
 
 def test_cg_visit_down_mdma_parity(setup):
     st, b, u = setup
     alpha = 0.37
     r, ap = b, u
-    u0_p, rc_y, r_new, nrm = mdma.cg_visit_down_mdma(
+    u0_p, rc, r_new, nrm = mdma.cg_visit_down_mdma(
         st, pad2(r, NY, NX), pad2(ap, NY, NX), alpha, STEPS,
         ny=NY, nx=NX, interpret=True)
     r_ref = r - alpha * ap
@@ -125,7 +128,7 @@ def test_cg_visit_down_mdma_parity(setup):
     np.testing.assert_allclose(np.asarray(u0_p[:NY, :NX]),
                                np.asarray(u_ref), rtol=1e-12, atol=1e-13)
     np.testing.assert_allclose(
-        np.asarray(restrict_x_fw(rc_y[:nyc, :NX])),
+        np.asarray(rc[:nyc, :(NX - 1) // 2]),
         np.asarray(restrict_fw(rr)), rtol=1e-12, atol=1e-13)
     nrm_ref = float(jnp.sum(r_ref * r_ref))
     assert abs(float(nrm) - nrm_ref) <= 1e-10 * abs(nrm_ref)
@@ -137,10 +140,9 @@ def test_visit_up_mdma_parity(setup):
     nxc = (NX - 1) // 2
     rng = np.random.default_rng(11)
     e_c = jnp.asarray(rng.standard_normal((nyc, nxc)))
-    e_x = prolong_x_bilinear(e_c)
     z_p, dot = mdma.visit_up_mdma(
         st, pad2(b, NY, NX), pad2(jnp.array(u, copy=True), NY, NX),
-        pad2(e_x, nyc, NX), STEPS, ny=NY, nx=NX, interpret=True)
+        pad2(e_c, nyc, nxc), STEPS, ny=NY, nx=NX, interpret=True)
     z_ref = ref_smooth(st, b, u + prolong_bilinear(e_c), STEPS)
     np.testing.assert_allclose(np.asarray(z_p[:NY, :NX]),
                                np.asarray(z_ref), rtol=1e-12, atol=1e-13)

@@ -576,6 +576,33 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
                           ce=st.ce, cnw=z, cn=st.cn, cne=z)
         assert not ctx.spec.is_composite, "line smoother: 1 grid per level"
 
+        if kind == SmootherType.LINE_Y and _use_pallas(ctx, cfg):
+            # Whole-array-in-VMEM fused line smoother (ops/pallas/
+            # line_kernel.py): k sweeps in ONE read of (b, u) instead of
+            # ~13 XLA passes per sweep (VERDICT r4 #5).
+            from multigrid_petsc_tpu.ops.pallas.line_kernel import (
+                collapse_stencil,
+                line_visit_viable,
+                line_visit9_pallas,
+            )
+
+            stc = collapse_stencil(st)
+            g0 = ctx.spec.primary
+            if line_visit_viable(g0.ny, g0.nx, ctx.dinv[0].dtype, stc):
+                try:
+                    interp = jax.devices()[0].platform != "tpu"
+                except Exception:  # pragma: no cover
+                    interp = True
+
+                def smooth(b, u, sweeps, _st=stc, _i=interp):
+                    return (
+                        line_visit9_pallas(_st, b[0], u[0], sweeps,
+                                           cfg.omega, emit="u",
+                                           interpret=_i),
+                    )
+
+                return smooth
+
         def smooth(b, u, sweeps, _st=st, _kind=kind):
             ub = u[0]
             if _kind == SmootherType.LINE_Y:
@@ -745,6 +772,58 @@ def _build_visits(lc: LevelCtx, cfg: SolverConfig):
                                  lc.dinv[0].dtype)
 
         return visit_down, visit_up
+
+    if (lc.use_pallas_apply and not lc.spec.is_composite
+            and cfg.smoother == SmootherType.LINE_Y):
+        # Fused whole-array line-smoother visits (VERDICT r4 #5: cfg4's
+        # problems previously got the slowest composition — ~13 XLA
+        # passes per sweep; the reference treats every operator
+        # identically through assembled MatMult, src/solver.c:489-556).
+        from multigrid_petsc_tpu.ops.stencil import Stencil9
+        from multigrid_petsc_tpu.ops.pallas.line_kernel import (
+            collapse_stencil,
+            line_visit_viable,
+            line_visit9_pallas,
+        )
+
+        st0 = lc.stencils[0]
+        if not isinstance(st0, Stencil9):
+            z = jnp.zeros((1, 1), lc.dinv[0].dtype)
+            st0 = Stencil9(csw=z, cs=st0.cs, cse=z, cw=st0.cw, cc=st0.cc,
+                           ce=st0.ce, cnw=z, cn=st0.cn, cne=z)
+        st0 = collapse_stencil(st0)
+        g0 = lc.spec.primary
+        if line_visit_viable(g0.ny, g0.nx, lc.dinv[0].dtype, st0):
+            try:
+                interp = jax.devices()[0].platform != "tpu"
+            except Exception:  # pragma: no cover
+                interp = True
+            omega = cfg.omega
+
+            def visit_down_l(b, u, sweeps, _st=st0, _i=interp):
+                u0, rc1 = line_visit9_pallas(
+                    _st, b[0], None if u is None else u[0], sweeps, omega,
+                    emit="rc", interpret=_i)
+                return (u0,), rc1
+
+            def visit_up_l(b, u, e_c, sweeps, emit_r=False, _st=st0,
+                           _i=interp):
+                out = line_visit9_pallas(
+                    _st, b[0], u[0], sweeps, omega,
+                    emit="ur" if emit_r else "u", e_coarse=e_c,
+                    interpret=_i)
+                if emit_r:
+                    return (out[0],), (out[1],)
+                return (out,)
+
+            def visit_up_dot_l(b, u, e_c, sweeps, _st=st0, _i=interp):
+                z, dot = line_visit9_pallas(
+                    _st, b[0], u[0], sweeps, omega, emit="u",
+                    e_coarse=e_c, emit_dot=True, interpret=_i)
+                return (z,), dot
+
+            lc.visit_up_dot = visit_up_dot_l
+            return visit_down_l, visit_up_l
 
     from multigrid_petsc_tpu.ops.transfer import prolong_bilinear, restrict_fw
 

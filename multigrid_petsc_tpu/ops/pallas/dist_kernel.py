@@ -47,7 +47,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multigrid_petsc_tpu.ops.stencil import Stencil5
+from multigrid_petsc_tpu.ops.stencil import Stencil5, Stencil9
 from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
     _compute_dtype,
     _load_f32,
@@ -120,6 +120,156 @@ def dist_coeff_slabs(
     base = (np.arange(P)[:, None] * R + np.arange(g)[None, :] * t).reshape(-1)
     idx = base[:, None] + np.arange(t2)[None, :]  # ext is offset by h already
     return ext[:, idx].transpose(1, 0, 2)[..., None]  # (P*g, 5, t2, 1)
+
+
+def _split_additive(a: np.ndarray, ny: int, nx: int):
+    """(col (ny,), row (nx,)) with a == col[:, None] + row[None, :], or
+    None if ``a`` is not additively separable (to dtype roundoff).
+
+    The problem modules build coefficients as sums of x- and y-profiles
+    (e.g. cc = -2a(x)/hx^2 - 2c(y)/hy^2, problems.py:193-197), so even a
+    materialized (ny, nx) field decomposes exactly this way."""
+    a = np.broadcast_to(np.asarray(a), (ny, nx))
+    col = a[:, 0] - a[0, 0]
+    row = a[0, :]
+    approx = col[:, None] + row[None, :]
+    scale = float(np.abs(a).max()) or 1.0
+    eps = 1e-12 if a.dtype.itemsize >= 8 else 1e-6
+    if not np.allclose(approx, a, rtol=0.0, atol=eps * scale):
+        return None
+    return col, row
+
+
+def separable9(st: Stencil9, ny: int, nx: int) -> bool:
+    """Can every coefficient ship as an additive col+row pair?"""
+    return all(_split_additive(c, ny, nx) is not None for c in st)
+
+
+def dist_coeff9_slabs(
+    st: Stencil9, ny: int, nx: int, R: int, P: int, t: int, h: int, dtype
+) -> tuple[np.ndarray, np.ndarray]:
+    """9-point coefficients for the distributed kernel as an ADDITIVE
+    col + row decomposition: (P*g, 9, t2, 1) per-slab y-columns plus a
+    (9, 1, nx) x-row profile, with coeff = col + row.
+
+    Every problem family in the repo is additively separable this way
+    (x-profiles + y-profiles; see _split_additive); genuinely
+    non-separable fields raise.  Rows are CLAMPED into [0, ny) (keeps the
+    center real and invertible at pad/phantom rows); Dirichlet/pad
+    semantics come from the kernel's in-kernel row mask (the 5-pt path's
+    coefficient-encoded identity cannot express x-dependent centers)."""
+    g = R // t
+    t2 = t + 2 * h
+    ny_pad = P * R
+    dt = np.dtype(dtype)
+    cols = np.zeros((9, ny), dt)
+    rows = np.zeros((9, 1, nx), dt)
+    for j, c in enumerate(st):
+        sp = _split_additive(c, ny, nx)
+        if sp is None:
+            raise ValueError(
+                "distributed 9-pt path needs additively separable "
+                f"coefficients; coefficient {j} is not"
+            )
+        cols[j] = sp[0].astype(dt)
+        rows[j, 0] = sp[1].astype(dt)
+    # Clamped virtual row table over [-h, ny_pad + h).
+    vidx = np.clip(np.arange(-h, ny_pad + h), 0, ny - 1)
+    ext = cols[:, vidx]  # (9, ny_pad + 2h)
+    base = (np.arange(P)[:, None] * R + np.arange(g)[None, :] * t).reshape(-1)
+    idx = base[:, None] + np.arange(t2)[None, :]
+    return ext[:, idx].transpose(1, 0, 2)[..., None], rows
+
+
+def _make_dist9_kernel(t: int, g: int, h: int, ny: int, R: int, steps,
+                       emit: str, correct: bool,
+                       i0: int = 0, stride: int = 1, n_pass: int = 0):
+    """9-point variant of _make_dist_kernel: coefficient = col slab + row
+    profile; Dirichlet/pad semantics via an in-kernel global-row mask
+    (``base_ref`` = this device's first padded global row)."""
+    t2 = t + 2 * h
+
+    def kernel(*refs):
+        if correct:
+            (flag_ref, base_ref, ccol_ref, crow_ref,
+             u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref,
+             em_ref, et_ref, eb_ref, *outs) = refs
+        else:
+            (flag_ref, base_ref, ccol_ref, crow_ref,
+             u_ref, ut_ref, ub_ref, b_ref, bt_ref, bb_ref, *outs) = refs
+        outs = outs[n_pass:]
+        i = (jnp.int32(i0)
+             + pl.program_id(0).astype(jnp.int32) * jnp.int32(stride))
+        u = jnp.concatenate(
+            [_load_f32(ut_ref)[0], _load_f32(u_ref), _load_f32(ub_ref)[0]],
+            axis=0)
+        b = jnp.concatenate(
+            [_load_f32(bt_ref)[0], _load_f32(b_ref), _load_f32(bb_ref)[0]],
+            axis=0)
+
+        if correct:
+            e_loc = jnp.concatenate(
+                [_load_f32(et_ref)[0], _load_f32(em_ref),
+                 _load_f32(eb_ref)[0]], axis=0)
+            prev, cur = e_loc[:-1], e_loc[1:]
+            if h % 2 == 0:
+                pe = jnp.stack([0.5 * (prev + cur), cur], axis=1)
+            else:
+                pe = jnp.stack([prev, 0.5 * (prev + cur)], axis=1)
+            u = u + pe.reshape(t2, pe.shape[-1])
+
+        cs9 = [ccol_ref[0, j] + crow_ref[j] for j in range(9)]
+        (csw, c_s, cse, cw, cc, ce, cnw, cn, cne) = cs9
+        dinv = 1.0 / cc
+
+        # Global row mask: slab rows map to padded global rows
+        # base + i*t - h + j; rows >= ny (the pad row + phantoms) are
+        # pinned to zero every step — the masked analogue of the 5-pt
+        # path's coefficient-encoded absorbing identity.
+        grow = (base_ref[0, 0] + i * jnp.int32(t) - jnp.int32(h)
+                + jax.lax.broadcasted_iota(jnp.int32, (t2, u.shape[-1]), 0))
+        inside = (grow >= jnp.int32(0)) & (grow < jnp.int32(ny))
+        u = jnp.where(inside, u, 0.0)
+        b = jnp.where(inside, b, 0.0)
+
+        def apply_a(v):
+            south = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]], axis=0)
+            north = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])], axis=0)
+            return (cc * v + c_s * south + cn * north
+                    + cw * _shift_w(v) + ce * _shift_e(v)
+                    + csw * _shift_w(south) + cse * _shift_e(south)
+                    + cnw * _shift_w(north) + cne * _shift_e(north))
+
+        p = jnp.zeros_like(u)
+        for (alpha, beta) in steps:
+            z = dinv * (b - apply_a(u))
+            p = beta * p + alpha * z
+            u = jnp.where(inside, u + p, 0.0)
+
+        if emit == "a":
+            _store(outs[0], jnp.where(inside, apply_a(u), 0.0)[h : h + t])
+            return
+        if emit == "r":
+            _store(outs[0],
+                   jnp.where(inside, b - apply_a(u), 0.0)[h : h + t])
+            return
+        _store(outs[0], u[h : h + t])
+        if emit == "ur":
+            _store(outs[1],
+                   jnp.where(inside, b - apply_a(u), 0.0)[h : h + t])
+        elif emit == "rc":
+            r = jnp.where(inside, b - apply_a(u), 0.0)
+            v = r[h : h + t].reshape(t // 2, 2, r.shape[-1])
+            ev, od = v[:, 0], v[:, 1]
+            ev_next = jnp.concatenate([ev[1:], r[h + t : h + t + 1]], axis=0)
+            ry = ev + 2.0 * od + ev_next
+            rows = jax.lax.broadcasted_iota(jnp.int32, ry.shape, 0)
+            pad_row = ((flag_ref[0, 0] == 1)
+                       & (i == jnp.int32(g - 1))
+                       & (rows == jnp.int32(t // 2 - 1)))
+            _store(outs[1], jnp.where(pad_row, jnp.zeros_like(ry), ry))
+
+    return kernel
 
 
 def _make_dist_kernel(t: int, g: int, h: int, steps, emit: str, correct: bool,
@@ -257,6 +407,8 @@ def dist_level_visit_local(
     t: int,
     axis: str = "y",
     interpret: bool = False,
+    crow: jnp.ndarray | None = None,  # (9, 1, nx): 9-pt x-row profiles
+    ny: int | None = None,            # real interior rows (9-pt mask)
 ):
     """One fused level visit on this device's row block (shard_map body).
 
@@ -280,12 +432,15 @@ def dist_level_visit_local(
     h = halo_rows(k, emit)
     g = R // t
     correct = e is not None
+    is9 = crow is not None
 
     u_ext_t, u_ext_b = _edge_exchange(u, h, axis)
     b_ext_t, b_ext_b = _edge_exchange(b, h, axis)
 
     flag = (lax.axis_index(axis) == lax.axis_size(axis) - 1)
     flag = flag.astype(jnp.int32).reshape(1, 1)
+    base = (lax.axis_index(axis).astype(jnp.int32)
+            * jnp.int32(R)).reshape(1, 1)
 
     def halo_spec(hh):
         return pl.BlockSpec((1, hh, nx), lambda i: (i, 0, 0),
@@ -311,10 +466,19 @@ def dist_level_visit_local(
         """One pallas_call over the blocks {i0 + j*stride}."""
         mid = pl.BlockSpec((t, nx), mid_map, memory_space=pltpu.VMEM)
         midc = pl.BlockSpec((t // 2, nx), mid_map, memory_space=pltpu.VMEM)
-        coeff = pl.BlockSpec((1, 5, t + 2 * h, 1), cmid_map,
-                             memory_space=pltpu.VMEM)
-        in_specs = [flag_spec, coeff, mid, halo_spec(h), halo_spec(h),
-                    mid, halo_spec(h), halo_spec(h)]
+        if is9:
+            coeff = pl.BlockSpec((1, 9, t + 2 * h, 1), cmid_map,
+                                 memory_space=pltpu.VMEM)
+            crow_spec = pl.BlockSpec((9, 1, nx), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            in_specs = [flag_spec, flag_spec, coeff, crow_spec]
+        else:
+            coeff = pl.BlockSpec((1, 5, t + 2 * h, 1), cmid_map,
+                                 memory_space=pltpu.VMEM)
+            in_specs = [flag_spec, coeff]
+        u_idx = len(in_specs)
+        in_specs += [mid, halo_spec(h), halo_spec(h),
+                     mid, halo_spec(h), halo_spec(h)]
         if correct:
             in_specs += [midc, halo_spec(th), halo_spec(bh)]
         out_specs = [mid]
@@ -336,7 +500,7 @@ def dist_level_visit_local(
             # kernel outputs; safe in-place since each program reads only
             # its own u slab (halos ride separate exchanged arrays).  In
             # the edge call the u input IS the interior call's partial u'.
-            aliases[2] = 0
+            aliases[u_idx] = 0
         if n_pass:
             # Donated passthrough partials for the TRAILING outputs (the
             # edge call fills its own blocks; interior rows ride through
@@ -346,11 +510,19 @@ def dist_level_visit_local(
             for j in range(n_pass):
                 aliases[n_fixed + j] = base + j
 
+        if is9:
+            body_kernel = _make_dist9_kernel(
+                t, g, h, ny, R, steps, emit, correct,
+                i0=i0, stride=stride, n_pass=n_pass)
+        else:
+            body_kernel = _make_dist_kernel(
+                t, g, h, steps, emit, correct,
+                i0=i0, stride=stride, n_pass=n_pass)
+
         def run(*args):
             with _x64_scope(u.dtype):
                 return pl.pallas_call(
-                    _make_dist_kernel(t, g, h, steps, emit, correct,
-                                      i0=i0, stride=stride, n_pass=n_pass),
+                    body_kernel,
                     grid=(n_prog,),
                     in_specs=in_specs,
                     out_specs=(out_specs if len(out_specs) > 1
@@ -364,12 +536,14 @@ def dist_level_visit_local(
 
         return run
 
+    prefix = ([flag, base, c_slabs, crow] if is9 else [flag, c_slabs])
+
     if g < 3:
         # Too few blocks to split: single call over all slabs (the
         # pre-overlap composition; exchange completes before the kernel).
         u_top, u_bot = _windows(u, t, g, h, u_ext_t, u_ext_b)
         b_top, b_bot = _windows(b, t, g, h, b_ext_t, b_ext_b)
-        args = [flag, c_slabs, u, u_top, u_bot, b, b_top, b_bot]
+        args = prefix + [u, u_top, u_bot, b, b_top, b_bot]
         if correct:
             eblocks = e_x.reshape(g, t // 2, nx)
             if g == 1:
@@ -399,9 +573,8 @@ def dist_level_visit_local(
     b_tops_loc = bblocks[:-1, t - h :]
     b_bots_loc = bblocks[1:, :h]
 
-    int_args = [flag, c_slabs,
-                u, u_tops_loc[: g - 2], u_bots_loc[1:],
-                b, b_tops_loc[: g - 2], b_bots_loc[1:]]
+    int_args = prefix + [u, u_tops_loc[: g - 2], u_bots_loc[1:],
+                         b, b_tops_loc[: g - 2], b_bots_loc[1:]]
     if correct:
         eblocks = e_x.reshape(g, t // 2, nx)
         e_tops_loc = eblocks[:-1, t // 2 - th :]
@@ -418,13 +591,12 @@ def dist_level_visit_local(
     u_bot_e = jnp.stack([u_bots_loc[0], u_ext_b])
     b_top_e = jnp.stack([b_ext_t, b_tops_loc[g - 2]])
     b_bot_e = jnp.stack([b_bots_loc[0], b_ext_b])
-    edge_args = [flag, c_slabs,
-                 part[0], u_top_e, u_bot_e, b, b_top_e, b_bot_e]
+    edge_args = prefix + [part[0], u_top_e, u_bot_e, b, b_top_e, b_bot_e]
     if emit in ("a", "r"):
         # Output is not u-aliased: the edge call's u input is the ORIGINAL
         # u (interior call did not donate it), its out passthrough is the
         # interior partial.
-        edge_args[2] = u
+        edge_args[len(prefix)] = u
     if correct:
         e_top_e = jnp.stack([e_ext_t[-th:], e_tops_loc[g - 2]])
         e_bot_e = jnp.stack([e_bots_loc[0], e_ext_b[:bh]])

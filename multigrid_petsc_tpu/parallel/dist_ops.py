@@ -24,8 +24,9 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from multigrid_petsc_tpu.ops.stencil import Stencil5
+from multigrid_petsc_tpu.ops.stencil import Stencil5, Stencil9
 from multigrid_petsc_tpu.ops.pallas.dist_kernel import (
+    dist_coeff9_slabs,
     dist_coeff_slabs,
     dist_level_visit_local,
     halo_rows,
@@ -75,21 +76,29 @@ class DistLevelOps:
 
     # -- plumbing -----------------------------------------------------------
 
-    def _slabs(self, t: int, h: int) -> np.ndarray:
+    def _slabs(self, t: int, h: int):
         # Kept as HOST numpy: they enter each jitted solve as a baked
         # constant that shard_map splits per device (a committed device
         # array here would be hoisted to a hidden const-arg and break the
-        # AOT lower/compile path solve() uses).  Tiny: 5 columns x slab.
+        # AOT lower/compile path solve() uses).  Tiny: coefficient
+        # columns x slab (+ the (9, 1, nx) x-row profile for 9-pt).
         key = ("slabs", t, h)
         if key not in self._cache:
             from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
                 _compute_dtype,
             )
 
-            self._cache[key] = dist_coeff_slabs(
-                self.st, self.ny, self.R, self.P, t, h,
-                _compute_dtype(self.dtype),  # coeffs stay f32 for bf16 data
-            )
+            cdt = _compute_dtype(self.dtype)  # coeffs stay f32 for bf16
+            if isinstance(self.st, Stencil9):
+                self._cache[key] = dist_coeff9_slabs(
+                    self.st, self.ny, self.nx, self.R, self.P, t, h, cdt,
+                )
+            else:
+                self._cache[key] = (
+                    dist_coeff_slabs(self.st, self.ny, self.R, self.P,
+                                     t, h, cdt),
+                    None,
+                )
         return self._cache[key]
 
     def _fn(self, steps: tuple, emit: str, correct: bool):
@@ -104,10 +113,16 @@ class DistLevelOps:
             raise ValueError(
                 f"level rows/device R={self.R} cannot carry halo h={h}"
             )
+        slabs, crow = self._slabs(t, h)
         body = functools.partial(
             dist_level_visit_local,
             steps=steps, emit=emit, t=t, axis="y",
             interpret=self.interpret,
+            # 9-pt: x-row coefficient profile + the real interior row
+            # count ride as closed-over HOST-numpy constants (embedded as
+            # replicated literals in the shard_map body, like the slabs).
+            crow=crow,
+            ny=self.ny,
         )
         row = PartitionSpec("y", None)
         in_specs = (PartitionSpec("y", None, None, None), row, row)
@@ -119,7 +134,7 @@ class DistLevelOps:
             out_specs = row
         fn = shard_map(body, mesh=self.mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-        self._cache[key] = (fn, self._slabs(t, h))
+        self._cache[key] = (fn, slabs)
         return self._cache[key]
 
     # -- level operators ----------------------------------------------------

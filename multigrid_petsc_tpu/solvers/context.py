@@ -366,8 +366,20 @@ def _use_dist(lc: LevelCtx, cfg: SolverConfig, plan, dtype) -> bool:
         return False
     if cfg.backend in ("xla", "sparse"):
         return False
-    if lc.spec.is_composite or not isinstance(lc.stencils[0], Stencil5):
+    if lc.spec.is_composite:
         return False
+    if not isinstance(lc.stencils[0], Stencil5):
+        # 9-pt family (r5): the dist kernels carry the coefficients as an
+        # additive col+row decomposition — needs additive separability
+        # (true for every repo problem family; see dist_kernel.
+        # _split_additive).
+        from multigrid_petsc_tpu.ops.pallas.dist_kernel import separable9
+        from multigrid_petsc_tpu.ops.stencil import Stencil9
+
+        g9 = lc.spec.primary
+        if not (isinstance(lc.stencils[0], Stencil9)
+                and separable9(lc.stencils[0], g9.ny, g9.nx)):
+            return False
     if cfg.smoother not in (SmootherType.JACOBI, SmootherType.CHEBYSHEV):
         return False
     try:
@@ -423,12 +435,18 @@ def _build_smoother(ctx: LevelCtx, cfg: SolverConfig):
             # Chebyshev step schedule) is bit-identical to the
             # single-device path — pad rows would otherwise perturb the
             # power iteration and the residual histories with it.
-            from multigrid_petsc_tpu.ops.stencil import apply_stencil5
+            from multigrid_petsc_tpu.ops.stencil import (
+                Stencil9,
+                apply_stencil5,
+                apply_stencil9,
+            )
 
             st0 = ctx.stencils[0]
+            ap9 = isinstance(st0, Stencil9)
             lmax = float(
                 sm.estimate_dinv_a_lmax(
-                    lambda u: (apply_stencil5(st0, u[0]),),
+                    lambda u: ((apply_stencil9 if ap9 else apply_stencil5)(
+                        st0, u[0]),),
                     (1.0 / st0.cc,),
                     [ctx.spec.primary.shape],
                     dtype=jnp.asarray(st0.cc).dtype,
@@ -938,7 +956,8 @@ def build_context(
                 # Pad the Jacobi diagonal with the absorbing identity so it
                 # broadcasts against the (ny+1, nx) padded state.
                 lc.dinv = (
-                    jnp.concatenate([d0, jnp.ones((1, 1), d0.dtype)]),
+                    jnp.concatenate(
+                        [d0, jnp.ones((1, d0.shape[1]), d0.dtype)]),
                 )
         if use_sparse:
             from multigrid_petsc_tpu.ops.sparse import SparseLevelOp

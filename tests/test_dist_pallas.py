@@ -268,3 +268,100 @@ def test_dist_overlapped_split_matches():
     r_exp = np.asarray(b - apply_stencil5(st, exp_u2))
     np.testing.assert_allclose(np.asarray(r2)[:-1], r_exp, rtol=1e-12,
                                atol=1e-14 * float(np.abs(r_exp).max()))
+
+
+def _jacobi9_ref(st9, b, u, sweeps, omega=0.8):
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+
+    dinv = 1.0 / st9.cc
+    for _ in range(sweeps):
+        u = u + omega * dinv * (b - apply_stencil9(st9, u))
+    return u
+
+
+def test_dist_9pt_kernels_match():
+    """The 9-point distributed fused kernels (VERDICT r4 #6: the dist path
+    used to hard-gate on Stencil5) match the jnp reference on the virtual
+    mesh — additive col+row coefficients (incl. a genuinely materialized
+    2-D center), in-kernel row mask, both single-call and overlapped-split
+    geometries, every emit variant."""
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        jacobi_step_coeffs,
+    )
+    from multigrid_petsc_tpu.ops.stencil import apply_stencil9
+    from multigrid_petsc_tpu.problems import (
+        AnisoProblem,
+        stencil9_coefficients,
+    )
+
+    ny = nx = 255
+    # Variable a(x), c(y) AND mixed term: x-profiles, y-profiles, scalars,
+    # and a full (ny, nx) additively-separable center all exercised.
+    st9 = stencil9_coefficients(
+        AnisoProblem(1.0, 0.5, 100.0, 0.3, 0.2), ny, nx, jnp.float64)
+    assert np.asarray(st9.cc).shape == (ny, nx)  # materialized 2-D center
+    ops = DistLevelOps(
+        st9, ny, nx, make_row_mesh(), jnp.float64,
+        steps_fn=lambda s: jacobi_step_coeffs(s, 0.8),
+        interpret=True, tile_cap=8,  # R=32 -> t=8, g=4: overlapped split
+    )
+    rng = np.random.default_rng(21)
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+
+    got = np.asarray(ops.smooth(_pad1(b), _pad1(u), 3))
+    exp_u = _jacobi9_ref(st9, b, u, 3)
+    np.testing.assert_allclose(got[:-1], np.asarray(exp_u),
+                               rtol=1e-12, atol=1e-12)
+    assert np.all(got[-1] == 0.0)
+
+    got_a = np.asarray(ops.apply(_pad1(u)))
+    exp_a = np.asarray(apply_stencil9(st9, u))
+    np.testing.assert_allclose(got_a[:-1], exp_a, rtol=1e-12,
+                               atol=1e-13 * np.abs(exp_a).max())
+
+    u1, rc = ops.visit_down(_pad1(b), _pad1(u), 3)
+    rc_exp = np.asarray(restrict_fw(b - apply_stencil9(st9, exp_u)))
+    np.testing.assert_allclose(np.asarray(u1)[:-1], np.asarray(exp_u),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rc)[:-1], rc_exp, rtol=1e-12,
+                               atol=1e-13 * np.abs(rc_exp).max())
+
+    e = jnp.asarray(rng.standard_normal(((ny - 1) // 2, (nx - 1) // 2)))
+    e_pad = jnp.pad(e, ((0, 1), (0, 0)))
+    u2, r2 = ops.visit_up(_pad1(b), _pad1(u), e_pad, 3, emit_r=True)
+    exp_u2 = _jacobi9_ref(st9, b, u + prolong_bilinear(e), 3)
+    np.testing.assert_allclose(np.asarray(u2)[:-1], np.asarray(exp_u2),
+                               rtol=1e-12, atol=1e-11)
+    r_exp = np.asarray(b - apply_stencil9(st9, exp_u2))
+    np.testing.assert_allclose(np.asarray(r2)[:-1], r_exp, rtol=1e-12,
+                               atol=1e-13 * np.abs(r_exp).max())
+
+    # Single-call geometry too (default tiles -> g=1).
+    ops1 = DistLevelOps(
+        st9, ny, nx, make_row_mesh(), jnp.float64,
+        steps_fn=lambda s: jacobi_step_coeffs(s, 0.8), interpret=True)
+    got1 = np.asarray(ops1.smooth(_pad1(b), _pad1(u), 3))
+    np.testing.assert_allclose(got1[:-1], np.asarray(exp_u),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dist_9pt_solve_iteration_parity():
+    """cfg4-shape (aniso 9-pt, point-smoother) solve on the row-plan
+    virtual mesh with the dist-fused kernels matches the single-device
+    run iteration-for-iteration."""
+    import dataclasses
+
+    cfg = SolverConfig(
+        npts=129, grids=3, levels=3, cycle=CycleType.MGCG,
+        problem="aniso", aniso=(1.0, 0.0, 100.0, 0.0, 0.0),
+        smoother=SmootherType.JACOBI, dtype="float64", rtol=1e-8,
+        max_iter=40, backend="pallas",
+    )
+    plan = row_plan(min_local=8)
+    got = solve(cfg, plan=plan)
+    lvl0 = got.ctx.levels[0]
+    assert lvl0.dist is not None  # the 9-pt dist-fused path actually ran
+    ref = solve(dataclasses.replace(cfg, backend="xla"))
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(got.u_fine, ref.u_fine, rtol=1e-6, atol=1e-10)

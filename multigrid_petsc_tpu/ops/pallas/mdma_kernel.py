@@ -13,7 +13,14 @@ re-implement the fused-CG fine-level visits in that regime:
     through double-buffered VMEM scratch,
   * the halo rides IN the window (offset DMA) — no separately gathered
     halo-window arrays at all,
-  * block i's compute runs while block i+1's window is in flight.
+  * block i's compute runs while block i+1's window is in flight,
+  * (round 5) BOTH halves of the inter-level transfers run in VMEM: the
+    down kernels emit the FULLY restricted residual in the next level's
+    padded layout (transpose-trick x-restriction, _restrict_x_pad) and
+    the up kernel consumes the COARSE-width correction (_prolong_x_pad)
+    — for adjacent single-grid levels there is zero XLA transfer glue
+    between kernels (measured: precond 11.3 -> 7.6 ms at 8193^2,
+    benchmarks/results/probe_mdma_glue_r05.txt).
 
 **Lane padding.**  Mosaic rejects HBM row-slices (static or dynamic) on
 arrays whose LANE dimension is not a multiple of 128 ("failed to prove a

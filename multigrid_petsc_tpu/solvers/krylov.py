@@ -127,6 +127,69 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     )
 
 
+def build_coarse_tree(ctx: MGContext, interpret: bool = False):
+    """(start_level, solver) for the single-dispatch coarse-tree kernel
+    (ops/pallas/coarse_tree_kernel.py), or None.  The earliest level from
+    which EVERY remaining level fits the kernel's constraints wins —
+    below it the whole sub-V-cycle runs as one Pallas call instead of
+    ~2 visits x ~8 levels of dispatches."""
+    from multigrid_petsc_tpu.ops.pallas import coarse_tree_kernel as ctk
+    from multigrid_petsc_tpu.ops.pallas.stencil_kernel import (
+        chebyshev_step_coeffs,
+        jacobi_step_coeffs,
+    )
+    from multigrid_petsc_tpu.ops.stencil import Stencil5
+    from multigrid_petsc_tpu.solvers.vcycle import _visit_sweeps
+    from multigrid_petsc_tpu.utils.config import SmootherType
+
+    cfg = ctx.config
+    v0, v1 = cfg.v
+    L = len(ctx.levels)
+    for l_t in range(1, L - 1):
+        lv = ctx.levels[l_t:]
+        if any(len(l.spec.grids) != 1 or l.spec.is_composite
+               or l.dist is not None or l.pad_rows
+               or not isinstance(l.stencils[0], Stencil5)
+               for l in lv):
+            continue
+        shapes = [l.spec.primary.shape for l in lv]
+        if not ctk.coarse_tree_viable(shapes, ctx.dtype):
+            continue
+        steps_list = []
+        for j, l in enumerate(lv):
+            kj = _visit_sweeps(ctx, l_t + j, v0, v1)
+            smk = cfg.smoother_at(l_t + j, L)
+            if smk == SmootherType.JACOBI:
+                steps_list.append(jacobi_step_coeffs(kj, cfg.omega))
+            elif smk == SmootherType.CHEBYSHEV and l.lmax is not None:
+                steps_list.append(chebyshev_step_coeffs(kj, l.lmax))
+            else:
+                steps_list = None
+                break
+        if steps_list is None:
+            continue
+        a_inv = None
+        if lv[-1].coarse_solve is not None:
+            mode = cfg.coarse_solver
+            nyL, nxL = shapes[-1]
+            if mode == "auto":
+                mode = ("direct" if nyL * nxL <= cfg.max_direct_size
+                        else "cg")
+            if mode != "direct":
+                continue  # cg coarse solve: keep the generic path
+            import numpy as _np
+
+            from multigrid_petsc_tpu.solvers import coarse as coarse_mod
+
+            a = coarse_mod.dense_from_stencil(lv[-1].stencils[0], nyL, nxL)
+            a_inv = _np.linalg.inv(a)
+        fn = ctk.make_coarse_tree_solver(
+            [l.stencils[0] for l in lv], shapes, tuple(steps_list),
+            a_inv=a_inv, interpret=interpret)
+        return l_t, fn
+    return None
+
+
 def mdma_plan(ctx: MGContext, interpret: bool = False) -> dict:
     """The manual-DMA solve's data plan as named closures — shared by
     ``_solve_mgcg_fused_mdma`` and the per-piece perf probes
@@ -168,6 +231,8 @@ def mdma_plan(ctx: MGContext, interpret: bool = False) -> dict:
                 and nxt.spec.primary.g - ctx.levels[l].spec.primary.g == 1
                 and not nxt.pad_rows)
 
+    tree = build_coarse_tree(ctx, interpret=interpret)
+
     def _coarse_from_rc(l: int, rc):
         """Solve levels > l given level l's FULLY restricted residual in
         shape_pad(nycl, nxcl) layout; return the padded coarse correction
@@ -175,6 +240,10 @@ def mdma_plan(ctx: MGContext, interpret: bool = False) -> dict:
         nyl, nxl = ctx.levels[l].spec.primary.shape
         nycl, nxcl = (nyl - 1) // 2, (nxl - 1) // 2
         if _adjacent(l):
+            if tree is not None and l + 1 == tree[0]:
+                # Whole remaining sub-hierarchy in ONE kernel.
+                u_next = tree[1](rc[:nycl, :nxcl])
+                return pad2(u_next, nycl, nxcl)
             if _level_mdma_ok(l + 1, rc.dtype):
                 return cycle_mdma_pad(l + 1, rc)
             u_next = _cycle(ctx, l + 1, (rc[:nycl, :nxcl],), None,

@@ -186,7 +186,17 @@ def solve(
     t_compile = time.perf_counter() - t0
 
     t0w, t0c = time.perf_counter(), time.process_time()
-    res: OuterResult = compiled(*args)
+    try:
+        res: OuterResult = compiled(*args)
+    except TypeError:
+        # JAX 0.9 AOT quirk: when the trace hoists large closure
+        # constants into executable const-args, Compiled.call can report
+        # "compiled for N inputs but called with 1" (observed on the
+        # float32x2 outer with the Chebyshev hierarchy).  The jit
+        # dispatch path threads the consts correctly — fall back to it.
+        compiled = run
+        t0w, t0c = time.perf_counter(), time.process_time()
+        res = compiled(*args)
     jax.block_until_ready(res)
     iters = int(res.iters)  # host readback: forces real sync (axon tunnel)
     t1w, t1c = time.perf_counter(), time.process_time()

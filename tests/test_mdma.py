@@ -201,3 +201,38 @@ def test_mgcg_mdma_matches_generic_end_to_end():
     np.testing.assert_allclose(got.rnorm, ref.rnorm, rtol=0.05)
     err = np.abs(got.u[0] - ref.u[0]).max() / np.abs(ref.u[0]).max()
     assert err < 1e-3
+
+
+def test_coarse_tree_matches_generic_cycle():
+    """The single-dispatch coarse-tree kernel (ops/pallas/
+    coarse_tree_kernel.py) reproduces the generic _cycle recursion —
+    smoother schedules, transfers, and the dense direct coarsest solve —
+    to f64 roundoff (interpret mode)."""
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.solvers.krylov import build_coarse_tree
+    from multigrid_petsc_tpu.solvers.vcycle import _cycle
+    from multigrid_petsc_tpu.utils.config import (
+        CycleType,
+        SmootherType,
+        SolverConfig,
+    )
+
+    _x64()
+    for smoother in (SmootherType.JACOBI, SmootherType.CHEBYSHEV):
+        cfg = SolverConfig(npts=257, grids=6, levels=6,
+                           cycle=CycleType.MGCG, smoother=smoother,
+                           dtype="float64")
+        ctx = build_context(cfg)
+        tree = build_coarse_tree(ctx, interpret=True)
+        assert tree is not None
+        l_t, fn = tree
+        assert l_t == 1  # every level below the finest fits the kernel
+        ny, nx = ctx.levels[l_t].spec.primary.shape
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal((ny, nx)))
+        got = fn(b)
+        v0, v1 = cfg.v
+        exp = _cycle(ctx, l_t, (b,), None, v0, v1, False)[0]
+        scale = float(jnp.abs(exp).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=1e-12, atol=1e-12 * scale)

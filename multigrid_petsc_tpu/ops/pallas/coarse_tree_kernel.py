@@ -53,7 +53,8 @@ def tree_vmem_bytes(shapes, itemsize: int) -> int:
     return 8 * max(per_level) + 3 * sum(per_level)
 
 
-def coarse_tree_viable(shapes, dtype, budget: int = 80 * 2**20) -> bool:
+def coarse_tree_viable(shapes, dtype, budget: int = 80 * 2**20,
+                       direct: bool = False) -> bool:
     if len(shapes) < 2:
         return False
     it = jnp.dtype(dtype).itemsize
@@ -62,6 +63,11 @@ def coarse_tree_viable(shapes, dtype, budget: int = 80 * 2**20) -> bool:
     for (ny, nx), (nyc, nxc) in zip(shapes[:-1], shapes[1:]):
         if nyc != (ny - 1) // 2 or nxc != (nx - 1) // 2:
             return False  # gap-1 chain only
+    if direct and shapes[-1][0] > 8:
+        # The in-kernel dense solve unrolls ny_L^2 row-block dots (Mosaic
+        # cannot flatten sublanes into lanes — reshape AND slice-concat
+        # both fail layout legalization on tiny arrays).
+        return False
     return True
 
 
@@ -97,6 +103,13 @@ def make_coarse_tree_solver(
     L = len(shapes)
     direct = a_inv is not None
     ny0, nx0 = shapes[0]
+    w_blocks = None
+    if direct:
+        nyL, nxL = shapes[-1]
+        # W[(i, k)][l, j] = ainv[i*nxL + j, k*nxL + l] (see kernel body).
+        A4 = np.asarray(a_inv).reshape(nyL, nxL, nyL, nxL)
+        w_blocks = jnp.asarray(
+            A4.transpose(0, 2, 3, 1).reshape(nyL * nyL, nxL, nxL))
 
     # Coefficient columns, broadcast to (ny, 1) host-side (tiny).
     coeff_ops = []
@@ -131,12 +144,32 @@ def make_coarse_tree_solver(
 
         if direct:
             nyL, nxL = shapes[-1]
-            bl = bs[-1].reshape(1, nyL * nxL)
-            uL = jax.lax.dot_general(
-                bl, ainv_ref[:],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=bl.dtype,
-            ).reshape(nyL, nxL)
+            # Mosaic cannot flatten sublanes into lanes (both the
+            # (7,7)->(1,49) reshape and a slice-concat along lanes fail
+            # layout legalization), so the dense solve runs as ny_L^2
+            # unrolled row-block dots on the 2-D layout:
+            #   u[i, :] = sum_k b[k, :] @ W[i*nyL + k]
+            # with W[(i,k)][l, j] = ainv[i*nxL + j, k*nxL + l] prepared
+            # host-side.  ~50 tiny MXU ops for the 7^2 coarsest grids the
+            # viability gate admits.
+            bL = bs[-1]
+            w = ainv_ref[:]
+            rows = []
+            for i in range(nyL):
+                acc = None
+                for k in range(nyL):
+                    r = jax.lax.dot_general(
+                        bL[k : k + 1, :], w[i * nyL + k],
+                        (((1,), (0,)), ((), ())),
+                        # Full f32: the MXU's default bf16-split precision
+                        # costs ~5e-4 relative error on the coarse solve
+                        # (measured), which the up-leg then propagates.
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=bL.dtype,
+                    )  # (1, nxL)
+                    acc = r if acc is None else acc + r
+                rows.append(acc)
+            uL = jnp.concatenate(rows, axis=0)
         else:
             uL = _smooth_steps(coeffs[-1], bs[-1],
                                jnp.zeros_like(bs[-1]), steps_list[-1],
@@ -158,7 +191,7 @@ def make_coarse_tree_solver(
     def solve(b):
         ops = list(coeff_ops)
         if direct:
-            ops.append(jnp.asarray(a_inv, b.dtype))
+            ops.append(w_blocks.astype(b.dtype))
         ops.append(b)
         in_specs = [full(a) for a in ops]
         out_shape = jax.ShapeDtypeStruct((ny0, nx0), b.dtype)

@@ -177,6 +177,8 @@ def build_coarse_tree(ctx: MGContext, interpret: bool = False):
                         else "cg")
             if mode != "direct":
                 continue  # cg coarse solve: keep the generic path
+            if not ctk.coarse_tree_viable(shapes, ctx.dtype, direct=True):
+                continue  # coarsest too large for the unrolled dense dots
             import numpy as _np
 
             from multigrid_petsc_tpu.solvers import coarse as coarse_mod

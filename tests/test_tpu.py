@@ -299,3 +299,31 @@ def test_real_solve_bf16_precond_1025():
     # Absolute ceiling so a bf16-path regression cannot hide behind growth
     # in ref.iters (measured: ref 4, bf16 9).
     assert res.iters <= 10
+
+
+def test_compiled_coarse_tree():
+    """The single-dispatch coarse-tree kernel compiled on the chip
+    matches the generic _cycle recursion (f32; HIGHEST-precision MXU
+    dense solve — default bf16-split precision measured 5e-4 off)."""
+    from multigrid_petsc_tpu.solvers.context import build_context
+    from multigrid_petsc_tpu.solvers.krylov import build_coarse_tree
+    from multigrid_petsc_tpu.solvers.vcycle import _cycle
+    from multigrid_petsc_tpu.utils.config import (
+        CycleType,
+        SmootherType,
+        SolverConfig,
+    )
+
+    cfg = SolverConfig(npts=1025, grids=8, levels=8, cycle=CycleType.MGCG,
+                      smoother=SmootherType.JACOBI,
+                      dtype="float32")
+    ctx = build_context(cfg)
+    tree = build_coarse_tree(ctx)
+    assert tree is not None
+    l_t, fn = tree
+    ny, nx = ctx.levels[l_t].spec.primary.shape
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((ny, nx)), jnp.float32)
+    got = fn(b)
+    exp = _cycle(ctx, l_t, (b,), None, *cfg.v, False)[0]
+    assert_close(np.asarray(got), np.asarray(exp), rtol=3e-5)

@@ -511,7 +511,14 @@ def main() -> None:
         if i not in which:
             continue
         print(f"== {name} ==", flush=True)
-        rec = run_config(name, cfg, plan=plan, note=note, certify=certify)
+        try:
+            rec = run_config(name, cfg, plan=plan, note=note,
+                             certify=certify)
+        except Exception as e:  # one config must not lose the rest
+            import traceback
+
+            traceback.print_exc()
+            rec = {"name": name, "note": note, "error": repr(e)[:300]}
         print(json.dumps(rec, indent=1), flush=True)
         results["records"].append(rec)
         # Write INCREMENTALLY: a late-config failure must not lose the

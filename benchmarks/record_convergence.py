@@ -4,7 +4,7 @@ Runs the reference's poisson.in default (17^2, 2 grids, V(3,3);
 /root/reference/poisson.in) plus a matrix of cycle variants and records
 the full normalized residual histories and the eData error norms
 (reference: src/solver.c:1211-1237, 1549-1557) into
-benchmarks/results/convergence_r04.json — convergence parity pinned by
+benchmarks/results/convergence_r05.json — convergence parity pinned by
 committed data, not only by the test suite.
 
 Runs on any platform (CPU or the attached chip); histories are
@@ -71,10 +71,16 @@ def main() -> None:
                 max_iter=200, dtype="float64")
     runs.append(("poisson_in_default_vcycle",
                  SolverConfig(cycle=CycleType.VCYCLE, **base)))
-    for cyc in (CycleType.ICYCLE, CycleType.ECYCLE, CycleType.D1CYCLE,
-                CycleType.D2CYCLE, CycleType.ADDITIVE, CycleType.PCMG):
+    for cyc in (CycleType.ICYCLE, CycleType.ECYCLE, CycleType.ADDITIVE,
+                CycleType.PCMG):
         runs.append((f"poisson_in_{cyc.name.lower()}",
                      SolverConfig(cycle=cyc, **base)))
+    # Delayed cycles: one composite level (the reference's guard,
+    # /root/reference/src/poisson.c:61-65).
+    d_base = dict(base, levels=1)
+    for cyc in (CycleType.D1CYCLE, CycleType.D2CYCLE, CycleType.D1PSCYCLE):
+        runs.append((f"poisson_in_{cyc.name.lower()}",
+                     SolverConfig(cycle=cyc, **d_base)))
     # Grid-independence of the V-cycle rate (SURVEY section 4 item 2) + the
     # h^2 error contract at three resolutions on uniform + stretched mesh.
     for npts, grids in ((129, 5), (257, 6), (513, 7)):
@@ -106,7 +112,7 @@ def main() -> None:
               f"errL2={rec['error_l2']:.3e}", flush=True)
         out["records"].append(rec)
 
-    path = Path("benchmarks/results/convergence_r04.json")
+    path = Path("benchmarks/results/convergence_r05.json")
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}")

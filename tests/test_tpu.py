@@ -327,3 +327,45 @@ def test_compiled_coarse_tree():
     got = fn(b)
     exp = _cycle(ctx, l_t, (b,), None, *cfg.v, False)[0]
     assert_close(np.asarray(got), np.asarray(exp), rtol=3e-5)
+
+
+def test_compiled_line_visit_kernel():
+    """The whole-array-in-VMEM fused line-smoother visit (cfg4's hot
+    path) compiled on the chip vs the XLA line-smoother composition."""
+    from multigrid_petsc_tpu.ops.pallas.line_kernel import (
+        collapse_stencil,
+        line_visit9_pallas,
+        line_visit_viable,
+    )
+    from multigrid_petsc_tpu.ops.stencil import (
+        apply_stencil9,
+        line_jacobi_sweeps_y,
+    )
+    from multigrid_petsc_tpu.problems import (
+        AnisoProblem,
+        stencil9_coefficients,
+    )
+
+    st9 = collapse_stencil(stencil9_coefficients(
+        AnisoProblem(1.0, 0.0, 100.0, 0.0, 0.0), N, N, jnp.float32))
+    assert line_visit_viable(N, N, jnp.float32, st9)
+    rng = np.random.default_rng(17)
+    b = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
+
+    got = line_visit9_pallas(st9, b, u, 3, 0.9, emit="u")
+    exp = line_jacobi_sweeps_y(st9, b, u, 3, 0.9)
+    assert_close(np.asarray(got), np.asarray(exp), rtol=5e-5)
+
+    u0, rc1 = line_visit9_pallas(st9, b, None, 3, 0.9, emit="rc")
+    exp0 = line_jacobi_sweeps_y(st9, b, jnp.zeros_like(b), 3, 0.9)
+    rr = b - apply_stencil9(st9, exp0)
+    assert_close(np.asarray(u0), np.asarray(exp0), rtol=5e-5)
+    assert_close(np.asarray(rc1), np.asarray(restrict_fw(rr)), rtol=5e-5)
+
+    e = jnp.asarray(rng.standard_normal(((N - 1) // 2, (N - 1) // 2)),
+                    jnp.float32)
+    z, dot = line_visit9_pallas(st9, b, jnp.array(u, copy=True), 2, 0.9,
+                                emit="u", e_coarse=e, emit_dot=True)
+    expz = line_jacobi_sweeps_y(st9, b, u + prolong_bilinear(e), 2, 0.9)
+    assert_close(np.asarray(z), np.asarray(expz), rtol=5e-5)

@@ -86,6 +86,7 @@ def view_solver(ctx) -> str:
         f"solver: cycle={cfg.cycle.name} v={cfg.v} rtol={cfg.rtol:g} "
         f"divtol={cfg.divtol:g} dtype={cfg.dtype}"
         + (f" outer_dtype={cfg.outer_dtype}" if cfg.outer_dtype else "")
+        + (f" path={ctx.solver_path}" if ctx.solver_path else "")
     ]
     L = len(ctx.levels)
     for l, lvl in enumerate(ctx.levels):

@@ -59,15 +59,29 @@ def main() -> None:
         )
 
     # DEVICE per-cycle time by iteration differencing (the methodology of
-    # benchmarks/baseline_configs.run_config): two forced-length runs of
-    # the same compiled solve; the difference cancels the fixed per-call
+    # benchmarks/baseline_configs.run_config): forced-length runs of the
+    # same compiled solve; the difference cancels the fixed per-call
     # costs (tunnel RTT ~25-50 ms, transfers), which otherwise dominate a
-    # ~100 ms solve and make the reported fraction noise.
+    # ~100 ms solve and make the reported fraction noise.  The differenced
+    # device work must also DOMINATE the RTT jitter: with the old fixed
+    # k2=13, +-30 ms of jitter leaked +-3 ms/cycle into the headline
+    # (observed: 9.8 vs 7.0 ms/cycle across runs of the same build), so
+    # the long run targets >= 0.25 s of device work and the estimate is
+    # the median of three differenced pairs.
+    import statistics
+
     forced = dataclasses.replace(cfg, rtol=1e-30, divtol=1e30)
-    k1, k2 = 3, 13
-    t1 = solve(dataclasses.replace(forced, max_iter=k1), timed=True).wall_time
-    t2 = solve(dataclasses.replace(forced, max_iter=k2), timed=True).wall_time
-    s_per_cycle = max((t2 - t1) / (k2 - k1), 1e-7)
+    est = max(res.wall_time / max(res.iters, 1), 1e-6)
+    k1 = 3
+    k2 = k1 + min(200, max(10, int(0.25 / est)))
+    run1 = dataclasses.replace(forced, max_iter=k1)
+    run2 = dataclasses.replace(forced, max_iter=k2)
+    pairs = []
+    for _ in range(3):
+        t1 = solve(run1, timed=True).wall_time
+        t2 = solve(run2, timed=True).wall_time
+        pairs.append(max((t2 - t1) / (k2 - k1), 1e-7))
+    s_per_cycle = statistics.median(pairs)
 
     bw_info = measured_bandwidth_info(min(8191, npts - 2))
     bw = bw_info["bytes_per_s"]
@@ -87,6 +101,7 @@ def main() -> None:
                 # fused-visit traffic model, and the measured stream rate
                 # the fraction is normalized by.
                 "ms_per_cycle_device": round(1e3 * s_per_cycle, 3),
+                "ms_per_cycle_samples": [round(1e3 * p, 3) for p in pairs],
                 "achieved_GBps_vs_model": round(per_iter / s_per_cycle / 1e9,
                                                 1),
                 "stream_GBps": round(bw / 1e9, 1),

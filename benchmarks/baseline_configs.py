@@ -400,7 +400,21 @@ def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
         mx_cfg = dataclasses.replace(
             cfg, dtype="float32", outer_dtype="float64", rtol=1e-8,
             cycle=CycleType.MGCG,
+            # bf16-preconditioned f64-outer PCG DIVERGES at 8193^2 (the
+            # bf16 noise in z, amplified by ||A|| ~ 1/h^2, destroys the
+            # preconditioner's effective definiteness; measured: rnorm
+            # grows 1.3x/iter).  The reduced-precision preconditioner is
+            # the THROUGHPUT experiment (f32 row); certification always
+            # runs the f32 preconditioner.
+            precond_dtype=None,
         )
+        if cfg.precond_dtype is not None:
+            rec["certify_note"] = (
+                "certified with the f32 V-cycle preconditioner: the "
+                f"{cfg.precond_dtype}-preconditioned f64-outer PCG "
+                "diverges at this size (z-noise amplified by ||A||~1/h^2;"
+                " see PERFORMANCE.md 'bfloat16 preconditioner')"
+            )
         u0 = None
         if certify == "fmg_warm":
             import jax.numpy as _jnp

@@ -182,7 +182,18 @@ def solve(
     run = jax.jit(_driver(ctx, u0_mixed=u0_mixed))
     args = (b_in,) if u0_mixed is None else (b_in, u0_mixed)
     t0 = time.perf_counter()
-    compiled = run.lower(*args).compile()  # AOT: no throwaway execution
+    # JAX 0.9's AOT path mis-threads hoisted closure constants for the
+    # float32x2 outer with the Chebyshev hierarchy ("compiled for 52
+    # inputs but called with 1", and the device wedges after) — use the
+    # plain jit dispatch there; AOT (no throwaway execution) elsewhere.
+    from multigrid_petsc_tpu.utils.config import SmootherType as _SmT
+
+    use_aot = not (cfg.outer_dtype == "float32x2"
+                   and cfg.smoother == _SmT.CHEBYSHEV)
+    if use_aot:
+        compiled = run.lower(*args).compile()
+    else:
+        compiled = run
     t_compile = time.perf_counter() - t0
 
     t0w, t0c = time.perf_counter(), time.process_time()

@@ -85,7 +85,7 @@ def main() -> None:
 
     bw_info = measured_bandwidth_info(min(8191, npts - 2))
     bw = bw_info["bytes_per_s"]
-    per_iter = modeled_bytes_per_iter(res.ctx)
+    per_iter = modeled_bytes_per_iter(res.ctx, path=res.path)
     frac = (per_iter / s_per_cycle) / bw
     n2 = (npts - 2) ** 2
 

@@ -215,7 +215,7 @@ def dispatch_floor(reps: int = 5) -> float:
     return best
 
 
-def modeled_bytes_per_iter(ctx, cycle=None) -> float:
+def modeled_bytes_per_iter(ctx, cycle=None, path=None) -> float:
     """Minimum HBM bytes per outer iteration with the fused-visit V-cycle
     and the fused-CG kernels (round 3: zero-guess visits + cg_papply +
     emitted inner products shrank the minimum — the model tracks it).
@@ -245,7 +245,20 @@ def modeled_bytes_per_iter(ctx, cycle=None) -> float:
     ]
     n2 = sizes[0]
     cyc = cycle if cycle is not None else ctx.config.cycle
-    total = (10.0 if cyc == CycleType.MGCG else 2.0) * n2 * B
+    # CG overhead on the fine grid.  Generic fused path: cg_papply reads
+    # (z, p) writes (p', Ap') with the dot emitted (4) + u/r axpys (6)
+    # = 10 n^2 B.  The manual-DMA plan (round 5) folds the u update into
+    # the direction kernel and the r update into the down visit; its
+    # required fine-grid streams are papply {z, p, u in; p', Ap', u' out}
+    # = 6 plus the down visit's extra {ap in, r' out} = 2 beyond the
+    # modeled b read — 8 n^2 B.  The model tracks the tighter minimum
+    # when that path is active (the model is the REQUIRED-bytes floor,
+    # so passes the kernels eliminated must leave it).
+    mdma = bool(getattr(ctx.levels[0], "mdma_ok", False)
+                and ctx.precond_ctx is None
+                and (path is None or path == "mdma"))
+    cg_over = (8.0 if mdma else 10.0) if cyc == CycleType.MGCG else 2.0
+    total = cg_over * n2 * B
     for m2 in sizes[:-1]:
         total += 5.5 * m2 * Bp  # zero-guess down + up fused visits
     if cyc != CycleType.MGCG:
@@ -309,7 +322,7 @@ def run_config(name: str, cfg: SolverConfig, plan=None, note: str = "",
     bw_info = measured_bandwidth_info()
     bw = bw_info["bytes_per_s"]
     floor = dispatch_floor()
-    per_iter = modeled_bytes_per_iter(res.ctx)
+    per_iter = modeled_bytes_per_iter(res.ctx, path=res.path)
     # Net device time: one fixed dispatch round trip rides every solve
     # call (~50 ms through the tunnel) — subtract it so per-cycle numbers
     # reflect device work, not transport.

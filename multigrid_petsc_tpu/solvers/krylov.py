@@ -101,7 +101,12 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
     def body(c):
         u, r, r_prev, p, rz, i, rn, hist = c
         ap = lvl0.apply(p)
-        alpha = rz / tree_dot(p, ap)
+        # Breakdown guards: once the f32 residual floors, pap/rz can hit
+        # exact 0 (or the recurrences NaN) — guarded ratios turn the
+        # iteration into a harmless stall instead of a silent NaN exit
+        # (forced-length benchmark runs rely on the loop running).
+        pap = tree_dot(p, ap)
+        alpha = jnp.where(pap != 0, rz / pap, 0.0)
         u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
         r_new = tuple(rk - alpha * ak for rk, ak in zip(r, ap))
         rn = tree_norm2(r_new)
@@ -109,9 +114,9 @@ def solve_mgcg(ctx: MGContext, b0: State | None = None) -> OuterResult:
         rz_new = tree_dot(r_new, z)
         if flexible:
             num = rz_new - tree_dot(r, z)
-            beta = jnp.maximum(num / rz, 0.0)  # PR+ restart guard
+            beta = jnp.where(rz != 0, jnp.maximum(num / rz, 0.0), 0.0)
         else:
-            beta = rz_new / rz
+            beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         p = tuple(zk + beta * pk for zk, pk in zip(z, p))
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, r_new, r, p, rz_new, i + 1, rn, hist)
@@ -375,10 +380,10 @@ def _solve_mgcg_fused_mdma(ctx: MGContext, b: State,
             st, z, p, u, alpha_prev, beta, ny=ny, nx=nx,
             interpret=interpret)
         p = pn
-        alpha = rz / pap
+        alpha = jnp.where(pap != 0, rz / pap, 0.0)  # breakdown guard
         z, rz_new, r, rn2 = precond(r, ap, alpha)
         rn = jnp.sqrt(rn2)
-        beta = rz_new / rz
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, r, z, p, rz_new, beta, alpha, i + 1, rn, hist)
 
@@ -438,7 +443,7 @@ def _solve_mgcg_fused(ctx: MGContext, b: State) -> OuterResult:
         # z and p are donated into (ap, p_new) — dead afterwards.
         p0, ap, pap = lvl0.papply(z[0], p[0], beta)
         p = (p0,)
-        alpha = rz / pap
+        alpha = jnp.where(pap != 0, rz / pap, 0.0)  # breakdown guard
         u = tuple(uk + alpha * pk for uk, pk in zip(u, p))
         # r' = r - alpha ap folded into the preconditioner's down visit
         # (r and ap donated; ||r'|| and <r', z> emitted by the kernels).
@@ -447,7 +452,7 @@ def _solve_mgcg_fused(ctx: MGContext, b: State) -> OuterResult:
         )
         r = (r_new,)
         rn = jnp.sqrt(rn2)
-        beta = rz_new / rz
+        beta = jnp.where(rz != 0, rz_new / rz, 0.0)
         hist = hist.at[jnp.minimum(i + 1, hist_len)].set(rn)
         return (u, r, z, p, rz_new, beta, i + 1, rn, hist)
 

@@ -29,15 +29,39 @@ from multigrid_petsc_tpu.utils.config import CycleType, SolverConfig
 N = 8193
 
 
+def _sync(r):
+    """Force REAL device sync: block_until_ready stopped blocking on the
+    axon tunnel mid-session (async readiness misreported) — a host
+    readback of one element is the only reliable barrier.  Constant cost
+    per call, cancelled by the loop differencing."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    leaf = _jax.tree_util.tree_leaves(r)[0]
+    return float(_jnp.ravel(leaf)[0])
+
+
 def timed_loop(mk, x, k1, k2):
-    def timed(k):
-        f = jax.jit(mk(k))
-        jax.block_until_ready(f(x))
+    """Median of three differenced pairs with host-readback sync (see
+    _sync) and a gap stretched to dominate tunnel RTT jitter."""
+    import statistics
+
+    k2 = max(k2, k1 + 40)
+    f1 = jax.jit(mk(k1))
+    f2 = jax.jit(mk(k2))
+    _sync(f1(x))
+    _sync(f2(x))
+
+    def timed(f):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        _sync(f(x))
         return time.perf_counter() - t0
 
-    return (timed(k2) - timed(k1)) / (k2 - k1)
+    pairs = []
+    for _ in range(3):
+        t1 = timed(f1)
+        t2 = timed(f2)
+        pairs.append((t2 - t1) / (k2 - k1))
+    return statistics.median(pairs)
 
 
 def main() -> None:

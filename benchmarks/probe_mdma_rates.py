@@ -12,6 +12,13 @@ auto-pipelined path.  This probe answers WHERE the overlap is lost:
   3. the auto-pipelined stencil_kernel counterparts, interleaved, as A/B,
   4. the XLA triad + manual-DMA pure-copy ceiling in the same session.
 
+CAVEAT: the vdown rows carry a non-donated output through the timing
+fori_loop and are inflated by a ~0.83 ms XLA backedge copy
+(probe_dma_parts.py); cgdown/vup/papply chain through their
+input_output_aliases and measure true.  Post carry-halo + lane-form
+transfers (r5): papply 2.49 ms = 0.99x triad on its 6 passes; cgdown
+2.37 (DMA 1.76 + exposed VPU); vup 2.36; true vdown ~ 2.2 (VPU-bound).
+
 Usage: PYTHONPATH=/root/repo python benchmarks/probe_mdma_rates.py [n]
 """
 
@@ -42,15 +49,43 @@ DT = jnp.float32
 B = 4
 
 
+def _sync(r):
+    """Force REAL device sync: block_until_ready stopped blocking on the
+    axon tunnel mid-session (async readiness misreported) — a host
+    readback of one element is the only reliable barrier.  Constant cost
+    per call, cancelled by the loop differencing."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    leaf = _jax.tree_util.tree_leaves(r)[0]
+    return float(_jnp.ravel(leaf)[0])
+
+
 def timed_loop(mk, x, k1, k2):
-    def timed(k):
-        f = jax.jit(mk(k))
-        jax.block_until_ready(f(x))
+    """Median of three differenced pairs.  The original (k1=2, k2=10)
+    gap put ~20 ms of device work against +-30 ms of tunnel RTT jitter
+    (observed: a NEGATIVE papply time in one session); the gap must
+    dominate the jitter, so k2 is stretched to >= ~75 iterations and
+    the estimate is the median of three interleaved pairs (the bench.py
+    methodology)."""
+    import statistics
+
+    k2 = max(k2, k1 + 75)
+    f1 = jax.jit(mk(k1))
+    f2 = jax.jit(mk(k2))
+    _sync(f1(x))
+    _sync(f2(x))
+
+    def timed(f):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        _sync(f(x))
         return time.perf_counter() - t0
 
-    return (timed(k2) - timed(k1)) / (k2 - k1)
+    pairs = []
+    for _ in range(3):
+        t1 = timed(f1)
+        t2 = timed(f2)
+        pairs.append((t2 - t1) / (k2 - k1))
+    return statistics.median(pairs)
 
 
 def triad_rate():
@@ -82,8 +117,10 @@ def main() -> None:
     st = stencil_coefficients(MeshType.UNIFORM, ny, nx, DT)
     t, g = mdma._tile_geometry(ny, nxp, B)
     n2b = ny * nx * B
-    halo_f = 1.0 + 2 * mdma.H / t  # halo re-read factor per streamed input
-    print(f"n={N} tile t={t} g={g} halo_factor={halo_f:.3f}", flush=True)
+    # Carry-halo scheme (round 5): inputs are read from HBM exactly once,
+    # so the measured-basis pass counts equal the model's (no halo factor).
+    halo_f = 1.0
+    print(f"n={N} tile t={t} g={g} (carry-halo: no re-reads)", flush=True)
 
     tri = triad_rate()
     print(f"triad                : {tri/1e9:7.1f} GB/s", flush=True)

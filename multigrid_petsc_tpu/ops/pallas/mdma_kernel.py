@@ -32,11 +32,14 @@ free — and every kernel masks its stores with the (row, lane) inside
 predicate so the pads stay exactly zero through the whole CG loop.
 
 DMA geometry: halo fixed at H = 8 rows (>= k+2 for k <= 6 sweeps);
-tiles are multiples of 16, so every slice offset (i*t - H, i*t, i*t/2)
-is 8-row aligned.  Block 0 reads [0, t2) and realigns in VMEM with a
-``pltpu.roll``; the last block reads a short window (static branch);
-``mdma_viable`` requires the last block to hold >= 17 rows so no other
-block's window overruns the array.
+tiles are multiples of 16, so every slice offset (i*t + H, i*t, i*t/2)
+is 8-row aligned.  Round-5 CARRY-HALO scheme (see ``_in_sched``): each
+HBM row is read exactly once — a block's leading 2H halo rows come from
+the previous block's buffer tail via a VMEM copy, so there are no halo
+re-reads, no realignment rolls, and input windows never overlap output
+rows (out-DMAs overlap in-DMAs even on donated in-place streams).
+``mdma_viable`` requires the last block to hold >= 17 rows so every
+window stays inside the row-padded array.
 
 Numerics: identical step bodies and masks as ``stencil_kernel``'s
 auto-pipelined kernels (interpret-mode parity is exact); only data
@@ -149,52 +152,84 @@ def _ceil8(n: int) -> int:
 
 
 def _in_sched(hbm, buf, sems, sidx, *, stride, halo, n_src, t_len, g):
-    """(start, wait) closures for one input's halo-windowed in-DMA.
+    """(start, wait, carry) closures for one input stream under the
+    CARRY-HALO scheme (round 5).
 
-    Window i = [i*stride - halo, i*stride + t_len + halo), clamped at 0
-    for block 0 (realigned in VMEM by the caller) and shortened for the
-    last block.  ``halo=0`` degenerates to exact blocks.
+    Window i = [i*stride - halo, i*stride + t_len + halo).  Each row of
+    HBM is DMA'd exactly ONCE:
 
-    Compiled Mosaic requires 8-multiple slice LENGTHS too; the short
-    last-block length is rounded up — the over-read stays in bounds only
+      * block 0 DMAs rows [0, t_len + halo) to buffer offset ``halo``
+        (buffer rows [0, halo) are out-of-grid and masked by the caller),
+      * block i >= 1 receives its first 2*halo rows from the PREVIOUS
+        block's buffer tail via ``carry`` (a VMEM copy — the tail of
+        window i-1 IS the head of window i) and DMAs only the fresh rows
+        [i*stride + halo, i*stride + t_len + halo) to offset 2*halo.
+
+    Consequences (probe_mdma_vpu.py, r5): no halo re-reads from HBM, no
+    realignment roll (windows land at fixed offsets), and — because a
+    fresh window now never overlaps any output block's rows — out-DMAs
+    can be issued WITHOUT waiting for input completion even on donated
+    in-place streams, so input and output transfers overlap (the old
+    wait-input-before-output order strictly alternated them: the "pure
+    pipeline" ablation measured 0.54x triad).
+
+    ``halo=0`` degenerates to exact blocks with a no-op carry.
+
+    Compiled Mosaic requires 8-multiple slice LENGTHS; the short
+    last-block length is rounded up — the over-read stays in bounds
     because every mdma-path array is row-padded to a multiple of 8 by
-    shape_pad/pad2 (rows [n_src, ceil8(n_src)) are real allocated rows of
-    the padded array), and is masked by the caller's ``inside``
-    predicate.  Interpret mode uses the same rounded length."""
-    last_lo = (g - 1) * stride - halo
+    shape_pad/pad2, and is masked by the caller's ``inside`` predicate.
+    A last block whose real rows are fully covered by the carried halo
+    (len <= 0, possible for the half-stride e-stream) skips its DMA
+    statically on both start and wait."""
+    off = 2 * halo if halo else 0
+    first_len = t_len + halo
+    last_lo = (g - 1) * stride + halo
     last_len = _ceil8(n_src - last_lo)  # in-bounds: arrays are row-padded
-    full_len = t_len + 2 * halo
 
-    def dma(slot, blk, full):
-        if full:
-            src = _aligned(jnp.maximum(blk * stride - halo, 0))
+    def dma(slot, blk, which):
+        if which == "first":
             return pltpu.make_async_copy(
-                hbm.at[pl.ds(src, full_len)], buf.at[slot],
+                hbm.at[pl.ds(0, first_len)],
+                buf.at[slot, pl.ds(halo, first_len)],
                 sems.at[slot, sidx])
+        if which == "last":
+            return pltpu.make_async_copy(
+                hbm.at[pl.ds(last_lo, last_len)],
+                buf.at[slot, pl.ds(off, last_len)],
+                sems.at[slot, sidx])
+        src = _aligned(blk * stride + halo)
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(last_lo, last_len)],
-            buf.at[slot, pl.ds(0, last_len)],
+            hbm.at[pl.ds(src, t_len)],
+            buf.at[slot, pl.ds(off, t_len)],
             sems.at[slot, sidx])
 
-    def start(slot, blk):
-        @pl.when(blk < g - 1)
+    def emit(slot, blk, fn):
+        @pl.when(blk == 0)
         def _():
-            dma(slot, blk, True).start()
+            fn(dma(slot, blk, "first"))
 
-        @pl.when(blk == g - 1)
+        @pl.when((blk > 0) & (blk < g - 1))
         def _():
-            dma(slot, blk, False).start()
+            fn(dma(slot, blk, "mid"))
+
+        if last_len > 0:
+            @pl.when(blk == g - 1)
+            def _():
+                fn(dma(slot, blk, "last"))
+
+    def start(slot, blk):
+        emit(slot, blk, lambda d: d.start())
 
     def wait(slot, blk):
-        @pl.when(blk < g - 1)
-        def _():
-            dma(slot, blk, True).wait()
+        emit(slot, blk, lambda d: d.wait())
 
-        @pl.when(blk == g - 1)
-        def _():
-            dma(slot, blk, False).wait()
+    def carry(slot, nxt):
+        if halo:
+            buf[nxt, pl.ds(0, 2 * halo)] = buf[slot,
+                                               pl.ds(t_len, 2 * halo)]
 
-    return start, wait
+    return start, wait, carry
 
 
 def _out_sched(buf, hbm, sems, sidx, *, stride, n_dst, g):
@@ -236,16 +271,22 @@ def _restrict_x_pad(rc_y: jnp.ndarray, nxc: int, nxc_p: int) -> jnp.ndarray:
     y-restricted slab, (tc, nx_p) -> (tc, nxc_p), including the overall
     1/16 scale — same math as stencil_kernel.restrict_x_fw.
 
-    Mosaic cannot stride LANES, but sublane reshapes lower fine, so the
-    slab is transposed, de-interleaved along sublanes, zero-padded to the
-    COARSE lane pad, and transposed back — the down kernels then emit the
-    next level's padded layout directly (no XLA restrict/pad passes)."""
-    tc = rc_y.shape[0]
-    rt = rc_y.T  # (nx_p, tc)
-    v = rt[: 2 * nxc].reshape(nxc, 2, tc)
-    ev, od = v[:, 0], v[:, 1]
-    ev_next = jnp.concatenate([ev[1:], rt[2 * nxc : 2 * nxc + 1]], axis=0)
-    res = 0.0625 * (ev + 2.0 * od + ev_next)  # (nxc, tc)
+    Round-5 split (probe_transpose.py): the [1,2,1] arithmetic runs in
+    LANE form via two lane-rolls (0.07 ms/visit at 8191^2), and only the
+    even-lane COMPACTION uses the transpose -> sublane de-interleave ->
+    transpose-back shuffle (0.24 ms) — doing the arithmetic on the
+    transposed slab (sublane concats) cost 0.42 ms more per visit.
+    Mosaic cannot stride lanes, hence the shuffle for the compaction.
+
+    Roll safety: lanes >= nx of ``rc_y`` are zero (callers mask), and the
+    used lanes 2J+2 <= 2*nxc = nx - 1 < nx_p - 1 never see the cyclic
+    wrap (nx odd < nx_p)."""
+    tc, nx_p = rc_y.shape
+    # s[:, 2J] = rc_y[2J] + 2 rc_y[2J+1] + rc_y[2J+2]
+    s = (rc_y + 2.0 * pltpu.roll(rc_y, nx_p - 1, 1)
+         + pltpu.roll(rc_y, nx_p - 2, 1))
+    st = s.T  # (nx_p, tc)
+    res = 0.0625 * st[: 2 * nxc].reshape(nxc, 2, tc)[:, 0]  # even lanes
     if nxc_p > nxc:
         res = jnp.concatenate(
             [res, jnp.zeros((nxc_p - nxc, tc), res.dtype)], axis=0)
@@ -257,20 +298,33 @@ def _prolong_x_pad(e: jnp.ndarray, nxc: int, nx: int,
     """In-VMEM x-direction half of bilinear prolongation on a lane-PADDED
     coarse slab, (rows, nxc_p) -> (rows, nx_p): fine col 2J+1 = e[:, J],
     col 2J = neighbor average (zero Dirichlet edges), fine lane pads
-    zero.  Same transpose trick as _restrict_x_pad; the up kernel then
-    consumes the COARSE-width correction (half the e bytes, no XLA
-    prolong/pad passes)."""
-    rows = e.shape[0]
+    zero.  The up kernel thus consumes the COARSE-width correction (half
+    the e bytes, no XLA prolong/pad passes).
+
+    Round-5 split (probe_transpose.py, like _restrict_x_pad): only the
+    even-lane SPREAD (coarse J -> fine lane 2J, zeros between) uses the
+    transpose shuffle; the neighbor-average/interleave arithmetic runs
+    in lane form with two rolls and a parity select (the all-transposed
+    form cost 0.59 ms/visit vs ~0.33 for this split).
+
+    Roll safety: ``sp``'s lanes >= 2*nxc are zero and nx_p >= nx + 1, so
+    the right-roll wrap (lane 0 <- sp[nx_p - 1], lane 1 <- sp[nx_p - 2])
+    only ever injects zeros."""
+    rows, nxc_p = e.shape
+    # Spread: sp[:, 2J] = e[:, J] (J < nxc), other lanes zero.
     et = e.T[:nxc]  # (nxc, rows) — sublane slice after transpose
-    z = jnp.zeros((1, rows), e.dtype)
-    ep = jnp.concatenate([z, et, z], axis=0)
-    ph = 0.5 * (ep[:-1] + ep[1:])  # (nxc + 1, rows): fine even cols
-    body = jnp.stack([ph[:nxc], et], axis=1).reshape(2 * nxc, rows)
-    out = jnp.concatenate([body, ph[nxc : nxc + 1]], axis=0)  # (nx, rows)
-    if nx_p > nx:
-        out = jnp.concatenate(
-            [out, jnp.zeros((nx_p - nx, rows), e.dtype)], axis=0)
-    return out.T
+    z = jnp.zeros((nxc, rows), e.dtype)
+    sp = jnp.stack([et, z], axis=1).reshape(2 * nxc, rows)
+    if nx_p > 2 * nxc:
+        sp = jnp.concatenate(
+            [sp, jnp.zeros((nx_p - 2 * nxc, rows), e.dtype)], axis=0)
+    sp = sp.T  # (rows, nx_p)
+    # odd fine lane 2J+1 <- e[J] = sp[2J];  even fine lane 2J <-
+    # 0.5 (e[J-1] + e[J]) = 0.5 (sp[2J-2] + sp[2J]);  e[-1] = e[nxc] = 0.
+    odd = pltpu.roll(sp, 1, 1)
+    even = 0.5 * (sp + pltpu.roll(sp, 2, 1))
+    lane = jax.lax.broadcasted_iota(jnp.int32, sp.shape, 1)
+    return jnp.where(lane % 2 == 0, even, odd)
 
 
 def _apply5(c_ref, v):
@@ -319,10 +373,12 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        r_start, r_wait = _in_sched(r_hbm, rbuf, in_sems, 0,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
-        a_start, a_wait = _in_sched(ap_hbm, apbuf, in_sems, 1,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        r_start, r_wait, r_carry = _in_sched(
+            r_hbm, rbuf, in_sems, 0,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        a_start, a_wait, a_carry = _in_sched(
+            ap_hbm, apbuf, in_sems, 1,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
         u_start, u_wait, u_drain = _out_sched(ubuf, u_hbm, out_sems, 0,
                                               stride=t, n_dst=ny, g=g)
         c_start, c_wait, c_drain = _out_sched(rcbuf, rc_hbm, out_sems, 1,
@@ -330,25 +386,30 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         n_start, n_wait, n_drain = _out_sched(rnbuf, rn_hbm, out_sems, 2,
                                               stride=t, n_dst=ny, g=g)
 
-        # Pipeline invariant: block i's windows were started and awaited
-        # by program i-1 (the donation-safety wait below); block 0
-        # bootstraps itself.  Exactly one wait per start.
+        # Pipeline invariant: block i's fresh rows were started by block
+        # i-1 and are waited here; block 0 bootstraps itself.  Exactly
+        # one wait per start.  Donation safety is BY CONSTRUCTION under
+        # the carry-halo scheme: a fresh input window [i*t + H,
+        # i*t + t + H) never overlaps any output block's rows [j*t,
+        # j*t + t) for j < i, so the in-place r/ap streams are safe with
+        # out-DMAs issued before input completion.
         @pl.when(i == 0)
         def _():
             r_start(slot, i)
             a_start(slot, i)
-            r_wait(slot, i)
-            a_wait(slot, i)
+
+        r_wait(slot, i)
+        a_wait(slot, i)
 
         @pl.when(i + 1 < g)
         def _():
+            r_carry(slot, nxt)
+            a_carry(slot, nxt)
             r_start(nxt, i + 1)
             a_start(nxt, i + 1)
 
-        # Block 0 read from row 0 (not -H): realign in VMEM.
-        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
-        r = pltpu.roll(rbuf[slot], shift, 0)
-        ap = pltpu.roll(apbuf[slot], shift, 0)
+        r = rbuf[slot]
+        ap = apbuf[slot]
         if r.dtype == jnp.bfloat16:
             r = r.astype(jnp.float32)
             ap = ap.astype(jnp.float32)
@@ -391,13 +452,6 @@ def _cg_down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
         rnbuf[slot] = b_mid.astype(rnbuf.dtype)
         rcbuf[slot] = rc.astype(rcbuf.dtype)
-
-        # Donation safety: block i's out rows overlap block i+1's input
-        # window tail — that prefetch must land before the out-DMA.
-        @pl.when(i + 1 < g)
-        def _():
-            r_wait(nxt, i + 1)
-            a_wait(nxt, i + 1)
 
         u_start(slot, i)
         c_start(slot, i)
@@ -502,8 +556,9 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        b_start, b_wait, b_carry = _in_sched(
+            b_hbm, bbuf, in_sems, 0,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
         u_start, u_wait, u_drain = _out_sched(ubuf, u_hbm, out_sems, 0,
                                               stride=t, n_dst=ny, g=g)
         c_start, c_wait, c_drain = _out_sched(rcbuf, rc_hbm, out_sems, 1,
@@ -512,14 +567,15 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         @pl.when(i == 0)
         def _():
             b_start(slot, i)
-            b_wait(slot, i)
+
+        b_wait(slot, i)
 
         @pl.when(i + 1 < g)
         def _():
+            b_carry(slot, nxt)
             b_start(nxt, i + 1)
 
-        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
-        b = pltpu.roll(bbuf[slot], shift, 0)
+        b = bbuf[slot]
         if b.dtype == jnp.bfloat16:
             b = b.astype(jnp.float32)
         inside = _inside(i, t, ny, nx, b.shape)
@@ -553,12 +609,9 @@ def _down_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, nxc_p):
         ubuf[slot] = u[H : H + t].astype(ubuf.dtype)
         rcbuf[slot] = rc.astype(rcbuf.dtype)
 
-        # b is not donated here, but keep the prefetch-before-out order
-        # anyway (uniform pipeline; the wait pairs each start exactly once).
-        @pl.when(i + 1 < g)
-        def _():
-            b_wait(nxt, i + 1)
-
+        # Carry-halo scheme: fresh input windows never overlap these
+        # output rows, so the out-DMAs issue immediately and overlap the
+        # next window's transfer (block i+1 waits it at its own top).
         u_start(slot, i)
         c_start(slot, i)
 
@@ -652,13 +705,15 @@ def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, emit_dot):
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        b_start, b_wait = _in_sched(b_hbm, bbuf, in_sems, 0,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
-        u_start, u_wait = _in_sched(u_hbm, ubuf, in_sems, 1,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
-        e_start, e_wait = _in_sched(e_hbm, ebuf, in_sems, 2,
-                                    stride=s, halo=H, n_src=nyc, t_len=s,
-                                    g=g)
+        b_start, b_wait, b_carry = _in_sched(
+            b_hbm, bbuf, in_sems, 0,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait, u_carry = _in_sched(
+            u_hbm, ubuf, in_sems, 1,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        e_start, e_wait, e_carry = _in_sched(
+            e_hbm, ebuf, in_sems, 2,
+            stride=s, halo=H, n_src=nyc, t_len=s, g=g)
         z_start, z_wait, z_drain = _out_sched(zbuf, z_hbm, out_sems, 0,
                                               stride=t, n_dst=ny, g=g)
 
@@ -667,21 +722,23 @@ def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, emit_dot):
             b_start(slot, i)
             u_start(slot, i)
             e_start(slot, i)
-            b_wait(slot, i)
-            u_wait(slot, i)
-            e_wait(slot, i)
+
+        b_wait(slot, i)
+        u_wait(slot, i)
+        e_wait(slot, i)
 
         @pl.when(i + 1 < g)
         def _():
+            b_carry(slot, nxt)
+            u_carry(slot, nxt)
+            e_carry(slot, nxt)
             b_start(nxt, i + 1)
             u_start(nxt, i + 1)
             e_start(nxt, i + 1)
 
-        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
-        eshift = _aligned(jnp.maximum(i * s - H, 0)) - (i * s - H)
-        b = pltpu.roll(bbuf[slot], shift, 0)
-        u = pltpu.roll(ubuf[slot], shift, 0)
-        e = pltpu.roll(ebuf[slot], eshift, 0)
+        b = bbuf[slot]
+        u = ubuf[slot]
+        e = ebuf[slot]
         if b.dtype == jnp.bfloat16:
             b = b.astype(jnp.float32)
             u = u.astype(jnp.float32)
@@ -723,12 +780,6 @@ def _up_kernel(ny, nx, nx_p, t, g, steps, nyc, nxc, emit_dot):
             z_wait(slot, i - 2)
 
         zbuf[slot] = u_mid.astype(zbuf.dtype)
-
-        @pl.when(i + 1 < g)
-        def _():
-            b_wait(nxt, i + 1)
-            u_wait(nxt, i + 1)
-            e_wait(nxt, i + 1)
 
         z_start(slot, i)
 
@@ -838,12 +889,15 @@ def _papply_kernel(ny, nx, nx_p, t, g):
         slot = jax.lax.rem(i, jnp.int32(2))
         nxt = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
-        z_start, z_wait = _in_sched(z_hbm, zbuf, in_sems, 0,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
-        p_start, p_wait = _in_sched(p_hbm, pbuf, in_sems, 1,
-                                    stride=t, halo=H, n_src=ny, t_len=t, g=g)
-        u_start, u_wait = _in_sched(u_hbm, ubuf, in_sems, 2,
-                                    stride=t, halo=0, n_src=ny, t_len=t, g=g)
+        z_start, z_wait, z_carry = _in_sched(
+            z_hbm, zbuf, in_sems, 0,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        p_start, p_wait, p_carry = _in_sched(
+            p_hbm, pbuf, in_sems, 1,
+            stride=t, halo=H, n_src=ny, t_len=t, g=g)
+        u_start, u_wait, u_carry = _in_sched(
+            u_hbm, ubuf, in_sems, 2,
+            stride=t, halo=0, n_src=ny, t_len=t, g=g)
         pn_s, pn_w, pn_d = _out_sched(pnbuf, pn_hbm, out_sems, 0,
                                       stride=t, n_dst=ny, g=g)
         ap_s, ap_w, ap_d = _out_sched(apbuf, ap_hbm, out_sems, 1,
@@ -856,19 +910,21 @@ def _papply_kernel(ny, nx, nx_p, t, g):
             z_start(slot, i)
             p_start(slot, i)
             u_start(slot, i)
-            z_wait(slot, i)
-            p_wait(slot, i)
-            u_wait(slot, i)
+
+        z_wait(slot, i)
+        p_wait(slot, i)
+        u_wait(slot, i)
 
         @pl.when(i + 1 < g)
         def _():
+            z_carry(slot, nxt)
+            p_carry(slot, nxt)
             z_start(nxt, i + 1)
             p_start(nxt, i + 1)
             u_start(nxt, i + 1)
 
-        shift = _aligned(jnp.maximum(i * t - H, 0)) - (i * t - H)
-        z = pltpu.roll(zbuf[slot], shift, 0)
-        p = pltpu.roll(pbuf[slot], shift, 0)
+        z = zbuf[slot]
+        p = pbuf[slot]
         uu = ubuf[slot]
         if z.dtype == jnp.bfloat16:
             z = z.astype(jnp.float32)
@@ -899,12 +955,6 @@ def _papply_kernel(ny, nx, nx_p, t, g):
         pnbuf[slot] = pn_mid.astype(pnbuf.dtype)
         apbuf[slot] = ap_mid.astype(apbuf.dtype)
         unbuf[slot] = un.astype(unbuf.dtype)
-
-        @pl.when(i + 1 < g)
-        def _():
-            z_wait(nxt, i + 1)
-            p_wait(nxt, i + 1)
-            u_wait(nxt, i + 1)
 
         pn_s(slot, i)
         ap_s(slot, i)

@@ -195,7 +195,9 @@ def _make_line_kernel(ny, nx, sweeps, omega, strides, emit, correct,
                 out_refs[oi][:] = rr.astype(out_refs[oi].dtype)
             oi += 1
         if emit_dot:
-            out_refs[oi][0, 0] = jnp.sum(b * u)
+            # Whole-(1,1)-block store: Mosaic rejects scalar stores to
+            # VMEM ("Cannot store scalars to VMEM") in compiled mode.
+            out_refs[oi][:, :] = jnp.sum(b * u).reshape(1, 1)
 
     return kernel
 

@@ -85,7 +85,7 @@ def shape_pad(ny: int, nx: int) -> tuple[int, int]:
 
 
 def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int = 6,
-                    cap: int = 128) -> int:
+                    cap: int = 160) -> int:
     """Row tile (multiple of 16) keeping ``slabs`` double-buffered
     (t+2H, nx_p)-ish buffers plus ~10 compute temporaries inside ~90MB.
 
@@ -98,7 +98,7 @@ def _pick_tile_mdma(nx_p: int, itemsize: int, slabs: int = 6,
     tile sweep showed 64-224 rows perform identically, so pinning the
     conservative count costs nothing."""
     row_b = max(1, nx_p) * itemsize
-    budget = 90 * 2**20
+    budget = 112 * 2**20
     t = budget // ((2 * slabs + 10) * row_b) - 2 * H
     t = max(16, min(cap, (t // 16) * 16))
     return t
@@ -534,7 +534,7 @@ def cg_visit_down_mdma(
             input_output_aliases={3: 0, 2: 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 2**20,
+                vmem_limit_bytes=124 * 2**20,
             ),
             interpret=interpret,
         )(c_slabs, alpha_arr, r, ap)
@@ -675,7 +675,7 @@ def visit_down_mdma(
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 2**20,
+                vmem_limit_bytes=124 * 2**20,
             ),
             interpret=interpret,
         )(c_slabs, b)
@@ -858,7 +858,7 @@ def visit_up_mdma(
             input_output_aliases={2: 0},  # u -> z
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 2**20,
+                vmem_limit_bytes=124 * 2**20,
             ),
             interpret=interpret,
         )(c_slabs, b, u, e_c)
@@ -1029,7 +1029,7 @@ def cg_papply_u_mdma(
             input_output_aliases={3: 0, 2: 1, 4: 2},  # p->p', z->ap, u->u'
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 2**20,
+                vmem_limit_bytes=124 * 2**20,
             ),
             interpret=interpret,
         )(c_slabs, sc, z, p, u)

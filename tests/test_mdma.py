@@ -236,3 +236,39 @@ def test_coarse_tree_matches_generic_cycle():
         scale = float(jnp.abs(exp).max())
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                    rtol=1e-12, atol=1e-12 * scale)
+
+
+def test_visit_up_mdma_zero_length_last_e_dma(setup):
+    """Carry-halo edge case: a (2H+1)-row last block makes the half-
+    stride e-stream's last fresh-row DMA ZERO-length (the carried halo
+    covers all its real rows) — _in_sched must skip that start/wait
+    statically (ADVICE r4 high flagged exactly this geometry class).
+    ny=337 picks t=160, g=3, last=17 -> last_e = (17-1)/2 = 8 = H."""
+    _x64()
+    ny, nx = 337, 255
+    t, g = mdma._tile_geometry(ny, mdma.lane_pad(nx), 8)
+    assert ny - (g - 1) * t == 2 * mdma.H + 1, (t, g)  # the edge geometry
+    rng = np.random.default_rng(17)
+    st = stencil_coefficients(MeshType.UNIFORM, ny, nx, jnp.float64)
+    b = jnp.asarray(rng.standard_normal((ny, nx)))
+    u = jnp.asarray(rng.standard_normal((ny, nx)))
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    e_c = jnp.asarray(rng.standard_normal((nyc, nxc)))
+    z_p, dot = mdma.visit_up_mdma(
+        st, pad2(b, ny, nx), pad2(jnp.array(u, copy=True), ny, nx),
+        pad2(e_c, nyc, nxc), STEPS, ny=ny, nx=nx, interpret=True)
+    z_ref = ref_smooth(st, b, u + prolong_bilinear(e_c), STEPS)
+    np.testing.assert_allclose(np.asarray(z_p[:ny, :nx]),
+                               np.asarray(z_ref), rtol=1e-12, atol=1e-13)
+    assert float(jnp.abs(z_p[ny:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(z_p[:, nx:]).max(initial=0.0)) == 0.0
+    # Down visits at the same geometry (fine-stream last DMA is short
+    # but non-empty).
+    u0_p, rc = mdma.visit_down_mdma(st, pad2(b, ny, nx), STEPS,
+                                    ny=ny, nx=nx, interpret=True)
+    u0_ref = ref_smooth(st, b, jnp.zeros_like(b), STEPS)
+    rc_ref = restrict_fw(b - apply_stencil5(st, u0_ref))
+    np.testing.assert_allclose(np.asarray(u0_p[:ny, :nx]),
+                               np.asarray(u0_ref), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(rc[:nyc, :nxc]),
+                               np.asarray(rc_ref), rtol=1e-12, atol=1e-10)
